@@ -1,0 +1,58 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on host CPU devices (the driver separately
+dry-runs the multi-chip path via __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+KODAK_DIR = "/root/reference/img_kodak"
+
+
+@pytest.fixture(scope="session")
+def kodak01():
+    from nblic_tpu.utils import imageio
+
+    path = os.path.join(KODAK_DIR, "01.bmp")
+    if not os.path.exists(path):
+        pytest.skip("kodak corpus unavailable")
+    return imageio.load_image(path)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+def make_test_images(rng, sizes=((1, 1), (1, 7), (5, 1), (8, 8), (23, 17), (64, 48))):
+    """Small deterministic images covering border paths: random, flat, gradient."""
+    imgs = []
+    for h, w in sizes:
+        imgs.append(rng.integers(0, 256, size=(h, w), dtype=np.uint8))
+    imgs.append(np.zeros((16, 16), dtype=np.uint8))
+    imgs.append(np.full((16, 16), 255, dtype=np.uint8))
+    grad = (np.arange(32)[:, None] * 8 + np.arange(24)[None, :]).astype(np.uint8)
+    imgs.append(grad)
+    noise = rng.integers(0, 4, size=(33, 31), dtype=np.uint8) * 64
+    imgs.append(noise)
+    return imgs
+
+
+@pytest.fixture(scope="session")
+def test_images(rng):
+    return make_test_images(rng)
