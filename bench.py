@@ -1,0 +1,93 @@
+"""Benchmark: NBTC TPU-native codec on the Kodak-24 corpus (real chip).
+
+Prints ONE JSON line:
+  metric      = batched NBTC lossless encode throughput on one chip
+  vs_baseline = ratio vs the reference C encoder at -e1 on one CPU core
+                (5.1 MPix/s measured in this container; BASELINE.md)
+Extra fields: decode throughput, bits-per-pixel vs the reference efforts,
+and round-trip validity.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+KODAK = Path("/root/reference/img_kodak")
+BASELINE_E1_ENC_MPIX_S = 5.1  # BASELINE.md: reproduced single-core C at -e1
+REF_BPP = {"e0": 4.227, "e1": 4.146, "e2": 4.088, "e3": 4.066}
+
+
+def main() -> int:
+    from nblic_tpu.models import tiled
+    from nblic_tpu.utils import imageio
+
+    paths = sorted(KODAK.glob("*.bmp"))
+    imgs = [imageio.load_image(str(p)) for p in paths]
+    if not imgs:
+        print(json.dumps({"metric": "error", "value": 0, "unit": "",
+                          "vs_baseline": 0, "note": "no corpus"}))
+        return 1
+    n_px = sum(im.size for im in imgs)
+
+    # batch per distinct shape (Kodak has both orientations)
+    groups: dict[tuple, list] = {}
+    for im in imgs:
+        groups.setdefault(im.shape, []).append(im)
+    batches = list(groups.values())
+
+    def encode_all():
+        return [tiled.encode_batch(batch) for batch in batches]
+
+    def decode_all(all_streams):
+        return [tiled.decode_batch(s) for s in all_streams]
+
+    # ---- warmup (compile) ----
+    all_streams = encode_all()
+    all_decs = decode_all(all_streams)
+
+    # ---- timed encode (steady state) ----
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        all_streams = encode_all()
+    t_enc = (time.perf_counter() - t0) / reps
+
+    # ---- timed decode ----
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        all_decs = decode_all(all_streams)
+    t_dec = (time.perf_counter() - t0) / reps
+
+    ok = all(
+        np.array_equal(d, im)
+        for batch, dec_batch in zip(batches, all_decs)
+        for im, d in zip(batch, dec_batch)
+    )
+    streams = [s for group in all_streams for s in group]
+    total_bytes = sum(len(s) for s in streams)
+    bpp = 8.0 * total_bytes / n_px
+    enc_mpix = n_px / t_enc / 1e6
+    dec_mpix = n_px / t_dec / 1e6
+
+    result = {
+        "metric": "nbtc_kodak24_encode_throughput",
+        "value": round(enc_mpix, 2),
+        "unit": "MPix/s/chip",
+        "vs_baseline": round(enc_mpix / BASELINE_E1_ENC_MPIX_S, 2),
+        "decode_mpix_s": round(dec_mpix, 2),
+        "bpp": round(bpp, 4),
+        "ref_bpp": REF_BPP,
+        "lossless_roundtrip_ok": bool(ok),
+        "n_images": len(imgs),
+        "encode_s": round(t_enc, 3),
+        "decode_s": round(t_dec, 3),
+    }
+    print(json.dumps(result))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

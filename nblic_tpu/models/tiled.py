@@ -1,0 +1,464 @@
+"""NBTC — the TPU-native tiled codec (this framework's performance path).
+
+Design (SURVEY.md §7.1.5, re-thought for TPU rather than translated from the
+reference's raster-sequential C):
+
+- The image is cut into fixed-size tiles; every tile is an independent
+  entropy stream, so encode *and* decode parallelize across tiles in lockstep
+  vector lanes.
+- Lossless encode is two fully-parallel device passes: (1) whole-plane
+  modeling (ops/predict.py) + a segment-sum static context-bias table +
+  residual fold + histogram scatter; (2) per-tile rANS folds in lockstep
+  (ops/rans.py).  The only raster-sequential piece of the reference — the
+  per-context EWMA (QNBLIC.c:176-188) — is replaced by a *transmitted*
+  two-pass bias table, which removes the sequential chain from the decoder
+  entirely.
+- Decode (and near-lossless encode, which needs reconstruction feedback) run
+  as one fused scan per tile: all lanes march over pixel positions in
+  lockstep, so every buffer access is uniform across lanes and the per-lane
+  state is O(1) registers (the reference's sliding window, QNBLIC.c:67-79).
+
+Container: ``NBTC0001`` (utils/container.py) — shared bias + histograms,
+per-tile stream length table, concatenated forward-readable rANS payloads.
+"""
+
+from __future__ import annotations
+
+import functools
+import zlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import Q_N_CONTEXT
+from ..ops import context as ctx_ops
+from ..ops import histogram as hist_ops
+from ..ops import rans
+from ..ops.predict import model_stage1
+from ..ops.window import pixel_model, row_start_window, slide_window
+from ..utils.container import NbtcHeader, check_size
+
+DEFAULT_TILE = (64, 64)
+N_QD = 12
+N_SYM = 256
+NORM_SUM = hist_ops.NORM_SUM
+
+
+# ---------------------------------------------------------------------------
+# tiling helpers (host)
+# ---------------------------------------------------------------------------
+
+
+def _tile_grid(h, w, th, tw):
+    gh = -(-h // th)
+    gw = -(-w // tw)
+    return gh, gw
+
+
+def to_tiles(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Pad (edge-replicate) and cut into (T, th, tw)."""
+    h, w = img.shape
+    gh, gw = _tile_grid(h, w, th, tw)
+    pad_h, pad_w = gh * th - h, gw * tw - w
+    padded = np.pad(img, ((0, pad_h), (0, pad_w)), mode="edge")
+    t = padded.reshape(gh, th, gw, tw).swapaxes(1, 2).reshape(gh * gw, th, tw)
+    return np.ascontiguousarray(t)
+
+
+def from_tiles(tiles: np.ndarray, h: int, w: int, th: int, tw: int) -> np.ndarray:
+    gh, gw = _tile_grid(h, w, th, tw)
+    img = tiles.reshape(gh, gw, th, tw).swapaxes(1, 2).reshape(gh * th, gw * tw)
+    return np.ascontiguousarray(img[:h, :w])
+
+
+# ---------------------------------------------------------------------------
+# device pass 1: parallel modeling (lossless)
+# ---------------------------------------------------------------------------
+
+
+def _model_lossless_impl(tiles: jnp.ndarray):
+    """tiles (T,th,tw) uint8 -> (y, qd, bias, hist) — one parallel pass."""
+    x = tiles.astype(jnp.int32)
+    px0, err, qd, adr = jax.vmap(model_stage1)(x)
+    bias = ctx_ops.build_static_bias(adr, err, Q_N_CONTEXT)
+    px, sign = ctx_ops.apply_static_bias(bias, adr, px0)
+    y = ctx_ops.residual_fold(x, px, sign, 0)
+    hist = (
+        jnp.zeros((N_QD, N_SYM), jnp.int32)
+        .at[qd.reshape(-1), y.reshape(-1)]
+        .add(1)
+    )
+    return y, qd, bias, hist
+
+
+_model_lossless = jax.jit(_model_lossless_impl)
+# batched over an image axis: per-image bias tables and histograms
+_model_lossless_batch = jax.jit(jax.vmap(_model_lossless_impl))
+
+
+def _rans_fold_impl(y, qd, hist_n, acc):
+    """Parallel (freq, acc) gather + lockstep rANS fold over tiles."""
+    t = y.shape[0]
+    ys = y.reshape(t, -1)
+    qs = qd.reshape(t, -1)
+    freq = hist_n[qs, ys]
+    facc = acc[qs, ys]
+    return rans.encode_scan(freq, facc)
+
+
+_rans_fold = jax.jit(_rans_fold_impl)
+_rans_fold_batch = jax.jit(jax.vmap(_rans_fold_impl))
+
+
+# ---------------------------------------------------------------------------
+# fused per-tile scan (decode; also near-lossless encode)
+# ---------------------------------------------------------------------------
+
+
+def _tile_decode_scan(words, bias, hist_n, acc, lut_flat, th: int, tw: int, near: int):
+    """Decode one tile stream; lanes are added by vmap. Returns (th, tw) int32."""
+    state0, ptr0 = rans.dec_start(words)
+
+    def row_body(carry, i):
+        prev1, prev2, state, ptr = carry
+        regs = row_start_window(i, prev1, prev2, tw)
+
+        def col_body(ccarry, j):
+            regs, err, row, state, ptr = ccarry
+            px0, qd, adr = pixel_model(regs, err)
+            px, sign = ctx_ops.apply_static_bias(bias, adr, px0)
+            lb = state & rans.NORM_MASK
+            y = lut_flat[qd * NORM_SUM + lb.astype(jnp.int32)]
+            state, ptr = rans.dec_step(
+                state, ptr, words, hist_n[qd, y], acc[qd, y], lb
+            )
+            x = ctx_ops.residual_unfold(y, px, sign, near)
+            err = x - px0
+            row = row.at[j].set(x)
+            regs = slide_window(regs, x, i, j, prev1, prev2, tw)
+            return (regs, err, row, state, ptr), None
+
+        row0 = jnp.zeros((tw,), jnp.int32)
+        (regs, _, row, state, ptr), _ = jax.lax.scan(
+            col_body,
+            (regs, jnp.int32(0), row0, state, ptr),
+            jnp.arange(tw, dtype=jnp.int32),
+        )
+        return (row, prev1, state, ptr), row
+
+    init = (
+        jnp.zeros((tw,), jnp.int32),
+        jnp.zeros((tw,), jnp.int32),
+        state0,
+        ptr0,
+    )
+    _, rows = jax.lax.scan(row_body, init, jnp.arange(th, dtype=jnp.int32))
+    return rows
+
+
+def _tile_encode_scan(tile, bias, th: int, tw: int, near: int):
+    """Near-lossless modeling scan for one tile: reconstruction feedback.
+
+    Returns (y, qd) planes; window slides on *reconstructed* pixels so the
+    decoder replays the identical chain (NBLIC's in-place feedback analog,
+    NBLIC.c:876,915-916).
+    """
+
+    def row_body(carry, i):
+        prev1, prev2 = carry
+        regs = row_start_window(i, prev1, prev2, tw)
+
+        def col_body(ccarry, j):
+            regs, err, rec_row = ccarry
+            px0, qd, adr = pixel_model(regs, err)
+            px, sign = ctx_ops.apply_static_bias(bias, adr, px0)
+            x_orig = tile[i, j]
+            y = ctx_ops.residual_fold(x_orig, px, sign, near)
+            x_rec = ctx_ops.residual_unfold(y, px, sign, near)
+            err = x_rec - px0
+            rec_row = rec_row.at[j].set(x_rec)
+            regs = slide_window(regs, x_rec, i, j, prev1, prev2, tw)
+            return (regs, err, rec_row), (y, qd)
+
+        row0 = jnp.zeros((tw,), jnp.int32)
+        (_, _, rec_row), outs = jax.lax.scan(
+            col_body,
+            (regs, jnp.int32(0), row0),
+            jnp.arange(tw, dtype=jnp.int32),
+        )
+        return (rec_row, prev1), outs
+
+    init = (jnp.zeros((tw,), jnp.int32), jnp.zeros((tw,), jnp.int32))
+    _, (y, qd) = jax.lax.scan(row_body, init, jnp.arange(th, dtype=jnp.int32))
+    return y, qd
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _decode_tiles(streams, bias, hist_n, acc, lut_flat, th: int, tw: int, near: int):
+    fn = functools.partial(
+        _tile_decode_scan, th=th, tw=tw, near=near
+    )
+    return jax.vmap(fn, in_axes=(0, None, None, None, None))(
+        streams, bias, hist_n, acc, lut_flat
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _decode_tiles_batch(streams, bias, hist_n, acc, lut_flat, th, tw, near):
+    """Batched over images: streams (B,T,W), per-image tables."""
+    fn = functools.partial(_tile_decode_scan, th=th, tw=tw, near=near)
+    per_image = jax.vmap(fn, in_axes=(0, None, None, None, None))
+    return jax.vmap(per_image)(streams, bias, hist_n, acc, lut_flat)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _model_near(tiles, bias, th: int, tw: int, near: int):
+    x = tiles.astype(jnp.int32)
+    fn = functools.partial(_tile_encode_scan, th=th, tw=tw, near=near)
+    y, qd = jax.vmap(fn, in_axes=(0, None))(x, bias)
+    hist = (
+        jnp.zeros((N_QD, N_SYM), jnp.int32)
+        .at[qd.reshape(-1), y.reshape(-1)]
+        .add(1)
+    )
+    return y, qd, hist
+
+
+# ---------------------------------------------------------------------------
+# public encode / decode
+# ---------------------------------------------------------------------------
+
+
+def _normalize_tables(hist_counts: np.ndarray):
+    hist_n = np.stack([hist_ops.normalize(h) for h in hist_counts])
+    acc = np.stack([hist_ops.accumulate(h) for h in hist_n])
+    return hist_n.astype(np.int32), acc.astype(np.int32)
+
+
+def _serialize_hists(hist_n: np.ndarray) -> bytes:
+    words: list[int] = []
+    for h in hist_n:
+        words.extend(hist_ops.serialize(h))
+    return np.asarray(words, dtype=np.uint16).tobytes()
+
+
+def _deserialize_hists(data: bytes):
+    words = np.frombuffer(data, dtype=np.uint16)
+    hists, pos = [], 0
+    for _ in range(N_QD):
+        h, pos = hist_ops.deserialize(words, pos)
+        hists.append(h)
+    return np.stack(hists)
+
+
+def encode(
+    img: np.ndarray,
+    near: int = 0,
+    tile_h: int = DEFAULT_TILE[0],
+    tile_w: int = DEFAULT_TILE[1],
+) -> bytes:
+    """Encode a gray-8 image into an NBTC container (device-parallel)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    check_size(h, w)
+    tiles = jnp.asarray(to_tiles(img, tile_h, tile_w))
+
+    if near == 0:
+        y, qd, bias, hist_counts = _model_lossless(tiles)
+    else:
+        # encoder-side bias estimate from the lossless stage (any transmitted
+        # table is decodable; the scan replays whatever we send)
+        _, _, bias, _ = _model_lossless(tiles)
+        y, qd, hist_counts = _model_near(tiles, bias, tile_h, tile_w, near)
+
+    hist_n, acc = _normalize_tables(np.asarray(hist_counts))
+    words, emits, state = _rans_fold(y, qd, jnp.asarray(hist_n), jnp.asarray(acc))
+    streams = rans.finalize_streams(words, emits, state)
+
+    bias_bytes = zlib.compress(np.asarray(bias, dtype=np.int16).tobytes(), 6)
+    hist_bytes = _serialize_hists(hist_n)
+    header = NbtcHeader(
+        profile=0,
+        near=near,
+        height=h,
+        width=w,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        n_tiles=len(streams),
+        bias_len=len(bias_bytes),
+        hist_len=len(hist_bytes),
+    )
+    lengths = np.asarray([2 * len(s) for s in streams], dtype=np.uint32)
+    payload = b"".join(s.tobytes() for s in streams)
+    return header.to_bytes() + bias_bytes + hist_bytes + lengths.tobytes() + payload
+
+
+def encode_batch(
+    imgs,
+    near: int = 0,
+    tile_h: int = DEFAULT_TILE[0],
+    tile_w: int = DEFAULT_TILE[1],
+) -> list[bytes]:
+    """Encode a batch of same-shape images in one device program.
+
+    This is the production/serving path: all images' tiles ride the same
+    lockstep scans, so device fixed costs amortize across the batch.  Only
+    lossless (near=0) is batched; near>0 falls back to per-image encode.
+    """
+    if near != 0:
+        return [encode(im, near=near, tile_h=tile_h, tile_w=tile_w) for im in imgs]
+    imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
+    h, w = imgs[0].shape
+    for im in imgs:
+        if im.shape != (h, w):
+            raise ValueError("encode_batch requires same-shape images")
+    check_size(h, w)
+    tiles = jnp.asarray(np.stack([to_tiles(im, tile_h, tile_w) for im in imgs]))
+
+    y, qd, bias, hist_counts = _model_lossless_batch(tiles)
+    hist_np = np.asarray(hist_counts)
+    tables = [_normalize_tables(hist_np[b]) for b in range(len(imgs))]
+    hist_n = jnp.asarray(np.stack([t[0] for t in tables]))
+    acc = jnp.asarray(np.stack([t[1] for t in tables]))
+    words, emits, state = _rans_fold_batch(y, qd, hist_n, acc)
+
+    words_np, emits_np, state_np = (
+        np.asarray(words),
+        np.asarray(emits),
+        np.asarray(state),
+    )
+    bias_np = np.asarray(bias, dtype=np.int16)
+    out = []
+    for b in range(len(imgs)):
+        streams = rans.finalize_streams(words_np[b], emits_np[b], state_np[b])
+        bias_bytes = zlib.compress(bias_np[b].tobytes(), 6)
+        hist_bytes = _serialize_hists(tables[b][0])
+        header = NbtcHeader(
+            profile=0,
+            near=0,
+            height=h,
+            width=w,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            n_tiles=len(streams),
+            bias_len=len(bias_bytes),
+            hist_len=len(hist_bytes),
+        )
+        lengths = np.asarray([2 * len(s) for s in streams], dtype=np.uint32)
+        payload = b"".join(s.tobytes() for s in streams)
+        out.append(
+            header.to_bytes() + bias_bytes + hist_bytes + lengths.tobytes() + payload
+        )
+    return out
+
+
+def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
+    """Decode a batch of same-geometry NBTC containers in one device program."""
+    hdrs = [NbtcHeader.from_bytes(s) for s in streams]
+    h0 = hdrs[0]
+    if any(
+        (h.height, h.width, h.tile_h, h.tile_w, h.near)
+        != (h0.height, h0.width, h0.tile_h, h0.tile_w, h0.near)
+        for h in hdrs
+    ):
+        return [decode(s) for s in streams]
+
+    biases, hist_ns, accs, luts, tile_words = [], [], [], [], []
+    wmax = 2
+    for s, hdr in zip(streams, hdrs):
+        pos = NbtcHeader.SIZE
+        bias = np.frombuffer(
+            zlib.decompress(s[pos : pos + hdr.bias_len]), dtype=np.int16
+        ).astype(np.int32)
+        pos += hdr.bias_len
+        hist_n = _deserialize_hists(s[pos : pos + hdr.hist_len]).astype(np.int32)
+        pos += hdr.hist_len
+        lengths = np.frombuffer(s[pos : pos + 4 * hdr.n_tiles], dtype=np.uint32)
+        pos += 4 * hdr.n_tiles
+        acc = np.stack([hist_ops.accumulate(hh.astype(np.uint32)) for hh in hist_n])
+        lut = np.stack(
+            [hist_ops.decode_lut(a.astype(np.uint32)) for a in acc]
+        ).astype(np.int32)
+        counts = lengths // 2
+        wmax = max(wmax, int(counts.max()))
+        per_tile = []
+        for n in counts:
+            n = int(n)
+            per_tile.append(np.frombuffer(s[pos : pos + 2 * n], dtype=np.uint16))
+            pos += 2 * n
+        tile_words.append(per_tile)
+        biases.append(bias)
+        hist_ns.append(hist_n)
+        accs.append(acc.astype(np.int32))
+        luts.append(lut.reshape(-1))
+
+    wmax = -(-wmax // 512) * 512
+    b = len(streams)
+    t = h0.n_tiles
+    stream_mat = np.zeros((b, t, wmax), dtype=np.int32)
+    for bi in range(b):
+        for ti, wrds in enumerate(tile_words[bi]):
+            stream_mat[bi, ti, : len(wrds)] = wrds
+
+    tiles = _decode_tiles_batch(
+        jnp.asarray(stream_mat),
+        jnp.asarray(np.stack(biases)),
+        jnp.asarray(np.stack(hist_ns)),
+        jnp.asarray(np.stack(accs)),
+        jnp.asarray(np.stack(luts)),
+        h0.tile_h,
+        h0.tile_w,
+        h0.near,
+    )
+    tiles_np = np.asarray(tiles, dtype=np.uint8)
+    return [
+        from_tiles(tiles_np[bi], h0.height, h0.width, h0.tile_h, h0.tile_w)
+        for bi in range(b)
+    ]
+
+
+def decode(stream: bytes) -> np.ndarray:
+    """Decode an NBTC container (tile-parallel lockstep scan on device)."""
+    hdr = NbtcHeader.from_bytes(stream)
+    check_size(hdr.height, hdr.width)
+    pos = NbtcHeader.SIZE
+    bias = np.frombuffer(
+        zlib.decompress(stream[pos : pos + hdr.bias_len]), dtype=np.int16
+    ).astype(np.int32)
+    pos += hdr.bias_len
+    hist_n = _deserialize_hists(stream[pos : pos + hdr.hist_len]).astype(np.int32)
+    pos += hdr.hist_len
+    lengths = np.frombuffer(stream[pos : pos + 4 * hdr.n_tiles], dtype=np.uint32)
+    pos += 4 * hdr.n_tiles
+
+    acc = np.stack([hist_ops.accumulate(h.astype(np.uint32)) for h in hist_n])
+    lut = np.stack(
+        [hist_ops.decode_lut(a.astype(np.uint32)) for a in acc]
+    ).astype(np.int32)
+
+    # pad per-tile streams into a lockstep matrix (bucket the width to limit
+    # recompilation across images)
+    word_counts = lengths // 2
+    wmax = int(word_counts.max()) if hdr.n_tiles else 2
+    wmax = -(-max(wmax, 2) // 512) * 512
+    streams_np = np.zeros((hdr.n_tiles, wmax), dtype=np.int32)
+    for t in range(hdr.n_tiles):
+        n = int(word_counts[t])
+        raw = np.frombuffer(stream[pos : pos + 2 * n], dtype=np.uint16)
+        streams_np[t, :n] = raw
+        pos += 2 * n
+
+    tiles = _decode_tiles(
+        jnp.asarray(streams_np),
+        jnp.asarray(bias),
+        jnp.asarray(hist_n),
+        jnp.asarray(acc.astype(np.int32)),
+        jnp.asarray(lut.reshape(-1)),
+        hdr.tile_h,
+        hdr.tile_w,
+        hdr.near,
+    )
+    return from_tiles(
+        np.asarray(tiles, dtype=np.uint8), hdr.height, hdr.width, hdr.tile_h, hdr.tile_w
+    )

@@ -1,0 +1,134 @@
+"""Context-bias modeling and residual mapping as vector ops.
+
+Two bias models live here:
+
+1. **Static two-pass bias** (the NBTC TPU-native design): instead of the
+   reference's raster-sequential per-context EWMA (QNBLIC.c:176-188), the
+   encoder computes the per-context *mean* prediction error over the whole
+   image in one parallel segment-sum and transmits the quantized table in the
+   container.  Encode and decode both become a single gather — no sequential
+   chain at all.  The EWMA is an online estimator of exactly this mean, so
+   compression is comparable; the decoder no longer needs to replay the chain.
+
+2. **Exact EWMA steps** for the interop engines (bit-exact Q0.2/NBLIC0.3),
+   mirroring QNBLIC.c:176-188 / NBLIC.c:413-428 including their *different*
+   rounding constants.
+
+Residual mapping is the JPEG-LS-style fold (NBLIC.c:431-466, near-aware;
+QNBLIC.c:191-217 is the near=0 special case).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..constants import MAX_VAL, MID_VAL
+
+# fixed-point scale of the transmitted static bias table (1/16 px units)
+BIAS_FRAC_BITS = 4
+
+
+# ---------------------------------------------------------------------------
+# static (two-pass) context bias — NBTC native path
+# ---------------------------------------------------------------------------
+
+
+def bias_moments(adr: jnp.ndarray, err: jnp.ndarray, n_ctx: int):
+    """Per-context (sum, count) of prediction errors via parallel segment-sum.
+
+    Separated from quantization so multi-device encoders can ``psum`` the
+    moments across mesh shards before quantizing (parallel/mesh.py).
+    """
+    flat_adr = adr.reshape(-1)
+    flat_err = err.reshape(-1)
+    sums = jnp.zeros((n_ctx,), jnp.int32).at[flat_adr].add(flat_err)
+    cnts = jnp.zeros((n_ctx,), jnp.int32).at[flat_adr].add(1)
+    return sums, cnts
+
+
+def quantize_bias(sums: jnp.ndarray, cnts: jnp.ndarray) -> jnp.ndarray:
+    """Fixed-point (2^BIAS_FRAC_BITS) rounded mean error per context."""
+    # round-half-away-from-zero of 16*sum/cnt, in pure integer math
+    denom = jnp.maximum(cnts, 1)
+    num = (sums << BIAS_FRAC_BITS) * 2 + jnp.sign(sums) * denom
+    bias = num // (2 * denom)  # floor division; sign-corrected numerator
+    bias = jnp.where(cnts > 0, bias, 0)
+    return jnp.clip(bias, -(1 << 11), (1 << 11) - 1).astype(jnp.int32)
+
+
+def build_static_bias(adr: jnp.ndarray, err: jnp.ndarray, n_ctx: int) -> jnp.ndarray:
+    """Per-context quantized mean error via parallel segment-sum.
+
+    adr/err: int32 planes (any shape).  Returns int32[n_ctx] fixed-point bias
+    (scale 2^BIAS_FRAC_BITS), zero for unused contexts.
+    """
+    return quantize_bias(*bias_moments(adr, err, n_ctx))
+
+
+def apply_static_bias(bias_tab: jnp.ndarray, adr: jnp.ndarray, px0: jnp.ndarray):
+    """Correct predictions by the static bias table.
+
+    Mirrors the shape of the reference correction (NBLIC.c:413-418): the
+    half-bit of the fixed-point bias doubles as the preferred residual sign.
+    Returns (px, sign) planes.
+    """
+    b = bias_tab[adr]
+    sign = (b >> (BIAS_FRAC_BITS - 1)) & 1
+    px = jnp.clip(px0 + (b >> BIAS_FRAC_BITS) + sign, 0, MAX_VAL)
+    return px, sign
+
+
+# ---------------------------------------------------------------------------
+# exact adaptive EWMA (interop engines)
+# ---------------------------------------------------------------------------
+
+
+def q_correct_px(ctx, px0, *, scale=11):
+    """QNBLIC CORRECT_PX (QNBLIC.c:176-180). Returns (px, sign)."""
+    sign = (ctx >> (scale - 1)) & 1
+    px = jnp.clip(px0 + (ctx >> scale) + sign, 0, MAX_VAL)
+    return px, sign
+
+
+def q_update_ctx(ctx, err, *, coef=7, scale=11):
+    """QNBLIC UPDATE_CONTEXT (QNBLIC.c:183-188; rounding constant 2^(coef-1)-1)."""
+    return (ctx * ((1 << coef) - 1) + (err << scale) + ((1 << (coef - 1)) - 1)) >> coef
+
+
+def n_correct_px(ctx, px0, *, scale=8):
+    """NBLIC correctPxByContext (NBLIC.c:413-418)."""
+    sign = (ctx >> (scale - 1)) & 1
+    px = jnp.clip(px0 + (ctx >> scale) + sign, 0, MAX_VAL)
+    return px, sign
+
+
+def n_update_ctx(ctx, err, *, coef=7, scale=8):
+    """NBLIC updateContext (NBLIC.c:421-428; rounding constant 2^(coef-1))."""
+    return (ctx * ((1 << coef) - 1) + (err << scale) + (1 << (coef - 1))) >> coef
+
+
+# ---------------------------------------------------------------------------
+# residual fold / unfold (sign-interleaved, near-aware)
+# ---------------------------------------------------------------------------
+
+
+def residual_fold(x, px, sign, near: int = 0):
+    """mapXtoY (NBLIC.c:431-444): |x-px| quantized by near, sign-interleaved."""
+    ty = (jnp.clip(px, 0, MAX_VAL - px) + near) // (2 * near + 1)
+    sy = (x >= px).astype(jnp.int32)
+    y = (jnp.abs(x - px) + near) // (2 * near + 1)
+    folded = jnp.where(y <= ty, 2 * y - (sy ^ sign), y + ty)
+    return jnp.where(y <= 0, 0, folded)
+
+
+def residual_unfold(z, px, sign, near: int = 0):
+    """mapYtoX (NBLIC.c:447-466): inverse fold + reconstruction clip."""
+    ty = (jnp.clip(px, 0, MAX_VAL - px) + near) // (2 * near + 1)
+    in_fold = z <= 2 * ty
+    y = jnp.where(in_fold, (z + 1) >> 1, z - ty)
+    sy = jnp.where(in_fold, (z & 1) ^ sign, (px < MID_VAL).astype(jnp.int32))
+    y = jnp.where(z <= 0, 0, y)
+    sy = jnp.where(z <= 0, 0, sy)
+    y = y * (2 * near + 1)
+    out = px + jnp.where(sy.astype(bool), y, -y)
+    return jnp.clip(out, 0, MAX_VAL)

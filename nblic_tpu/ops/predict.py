@@ -1,0 +1,139 @@
+"""Whole-plane prediction / activity / context-address kernels (effort-0 family).
+
+These reproduce, as fused vector ops over the full image plane, the per-pixel
+modeling math of the reference fast engine:
+
+- ``simple_predict``  — clipped-linear + best-of-7 angular blend
+  (QNBLIC.c:94-149; LUT thresholds QNBLIC.c:83).
+- ``activity``/``quantize_activity`` — texture activity and its 12-bin
+  quantizer (QNBLIC.c:531, 152-161).
+- ``context_address`` — activity bin + 8 texture bits -> 3072 addresses
+  (QNBLIC.c:164-173).
+
+Everything here is branch-free elementwise int32 math: one pass over the
+plane, fully fusible by XLA, batchable with ``vmap`` — this is the encoder's
+parallel "stage 1" (the property the reference's own MT pipeline proves:
+QNBLIC.c:683-739, SURVEY.md §7.1.1).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import MAX_VAL, Q_PT_THRESH, Q_QD_THRESH
+from .neighbors import Neighbors, sample
+
+
+def _lut_from_thresholds(thresholds, size) -> np.ndarray:
+    """tab[v] = index of first threshold bin containing v (QNBLIC.c:82-91)."""
+    tab = np.zeros(size, dtype=np.int32)
+    lo = 0
+    for k, hi in enumerate(thresholds):
+        tab[lo:hi] = k
+        lo = hi
+    return tab
+
+
+_PT_LUT = _lut_from_thresholds(Q_PT_THRESH, 608)
+_QD_LUT = _lut_from_thresholds(Q_QD_THRESH, 152)
+
+
+def simple_predict(n: Neighbors) -> jnp.ndarray:
+    """Blend predictor over neighbor planes; returns px0 in [0, 255]."""
+    a, b, c, d, e, f, g, h, q, r, s = n
+
+    px_lnr = jnp.clip(9 * a + 9 * b + 2 * d - 2 * c - e - f, 0, 16 * MAX_VAL)
+
+    def aab(u, v):
+        return jnp.abs(u - v)
+
+    # 7 angular candidates with directional costs (strict-> update order
+    # matches the C `if (cmin > cost)` chain exactly).
+    costs = [
+        2 * (aab(a, e) + aab(c, q) + aab(b, c) + aab(d, b)),
+        2 * (aab(a, c) + aab(c, h) + aab(b, f) + aab(d, g)),
+        2 * (aab(a, q) + aab(c, s) + aab(b, h) + aab(d, f)),
+        2 * (aab(a, b) + aab(c, f) + aab(b, g) + aab(d, r)),
+        aab(2 * a - e, q) + aab(2 * c - q, s) + aab(2 * b - c, h) + aab(2 * d - b, f),
+        aab(2 * a - q, c) + aab(2 * c - s, h) + aab(2 * b - h, f) + aab(2 * d - f, g),
+        aab(2 * a - c, b) + aab(2 * c - h, f) + aab(2 * b - f, g) + aab(2 * d - g, r),
+    ]
+    preds = [2 * a, 2 * b, 2 * c, 2 * d, a + c, c + b, b + d]
+
+    cmin = costs[0]
+    px_ang = preds[0]
+    csum = costs[0]
+    for cost, pred in zip(costs[1:], preds[1:]):
+        csum = csum + cost
+        take = cmin > cost
+        cmin = jnp.where(take, cost, cmin)
+        px_ang = jnp.where(take, pred, px_ang)
+
+    csum = csum - 7 * cmin
+    csum = jnp.minimum(csum >> 3, 608 - 1)
+    wt = jnp.asarray(_PT_LUT)[csum]
+    return (8 * wt * px_ang + (8 - wt) * px_lnr + 64) >> 7
+
+
+def activity(n: Neighbors, prev_err: jnp.ndarray) -> jnp.ndarray:
+    """Raw texture activity (QNBLIC.c:531): local gradients + carried error."""
+    a, b, c, d, e, f, g = n.a, n.b, n.c, n.d, n.e, n.f, n.g
+    return (
+        jnp.abs(a - e)
+        + jnp.abs(b - c)
+        + jnp.abs(b - d)
+        + jnp.abs(a - c)
+        + jnp.abs(b - f)
+        + jnp.abs(d - g)
+        + 2 * jnp.abs(prev_err)
+    )
+
+
+def quantize_activity(delta: jnp.ndarray) -> jnp.ndarray:
+    """12-bin activity quantizer via LUT (QNBLIC.c:152-161)."""
+    return jnp.asarray(_QD_LUT)[jnp.minimum(delta, 152 - 1)]
+
+
+def context_address(n: Neighbors, px: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
+    """qd*256 | 8 one-bit texture comparisons (QNBLIC.c:164-173)."""
+    bits = [
+        px > n.a,
+        px > n.b,
+        px > n.c,
+        px > n.d,
+        px > n.e,
+        px > n.f,
+        px > 2 * n.a - n.e,
+        px > 2 * n.b - n.f,
+    ]
+    adr = qd
+    for bit in bits:
+        adr = (adr << 1) | bit.astype(jnp.int32)
+    return adr
+
+
+def shift_err(err: jnp.ndarray) -> jnp.ndarray:
+    """In-row carried error: err[i, j-1], reset to 0 at column 0.
+
+    The reference carries ``err`` across the row scan and resets it per row
+    (QNBLIC.c:588, 599); since err = x - px0 depends only on original pixels
+    at near=0, the carried chain is just a one-column shift.
+    """
+    z = jnp.zeros_like(err[..., :, :1])
+    return jnp.concatenate([z, err[..., :, :-1]], axis=-1)
+
+
+def model_stage1(img: jnp.ndarray):
+    """Full parallel modeling pass: (px0, err, qd, adr) planes from the image.
+
+    ``img``: (..., H, W) uint8/int32 original pixels (lossless path).
+    Returns int32 planes of the same shape.
+    """
+    x = img.astype(jnp.int32)
+    n = sample(x)
+    px0 = simple_predict(n)
+    err = x - px0
+    qd = quantize_activity(activity(n, shift_err(err)))
+    adr = context_address(n, px0, qd)
+    return px0, err, qd, adr

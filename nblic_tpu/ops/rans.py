@@ -1,0 +1,106 @@
+"""Device rANS entropy coding (static tables, 16-bit renorm, 15-bit hists).
+
+The coder state machine matches the reference exactly (QNBLIC.c:221-274):
+32-bit state, low bound 2^16, one 16-bit word per renormalization, symbols
+drawn from histograms normalized to 2^15.
+
+TPU-native structure (SURVEY.md §7.1.3): the fold is serial *per stream* but
+the framework runs **many independent streams in lockstep vector lanes** —
+one stream per tile (NBTC) or per image (interop).  The per-symbol frequency
+and cumulative-frequency values are gathered in a fully parallel pass first,
+so the encode fold body is pure branch-free vector arithmetic with no table
+lookups inside the scan.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ANS_BITS = 16
+ANS_MASK = (1 << ANS_BITS) - 1
+ANS_LOW_BOUND = 1 << ANS_BITS
+NORM_BITS = 15
+NORM_MASK = (1 << NORM_BITS) - 1
+ANS_HIGH_BOUND_NORM = (1 << (2 * ANS_BITS - NORM_BITS)) - 1
+
+
+def encode_scan(freq: jnp.ndarray, acc: jnp.ndarray):
+    """Lockstep rANS encode of S parallel streams.
+
+    freq/acc: (S, L) uint32 per-symbol frequency / cumulative frequency in
+    *raster* order (the fold itself walks them in reverse, QNBLIC.c:639-645).
+
+    Returns (words, emits, state):
+      words: (S, L) int32 — candidate u16 word at each fold step,
+      emits: (S, L) bool  — whether that step renormalized (emitted a word),
+      state: (S,)  uint32 — final coder state (two trailing words).
+    Step order along L is fold order (reverse raster).
+    """
+    freq = freq.astype(jnp.uint32)
+    acc = acc.astype(jnp.uint32)
+    s = freq.shape[0]
+
+    def step(state, inp):
+        h, ha = inp
+        quot = state // h
+        renorm = quot > ANS_HIGH_BOUND_NORM
+        word = (state & ANS_MASK).astype(jnp.int32)
+        state = jnp.where(renorm, state >> ANS_BITS, state)
+        quot = jnp.where(renorm, state // h, quot)
+        state = (state % h) + (quot << NORM_BITS) + ha
+        return state, (word, renorm)
+
+    # derive the init from the input so its sharding/varying-axis metadata
+    # matches under shard_map (a literal init trips the scan vma check)
+    state0 = jnp.full_like(freq[:, 0], ANS_LOW_BOUND)
+    # fold walks the symbol sequence backwards
+    xs = (freq[:, ::-1].T, acc[:, ::-1].T)
+    state, (words, emits) = jax.lax.scan(step, state0, xs)
+    return words.T, emits.T, state
+
+
+def finalize_streams(words, emits, state) -> list[np.ndarray]:
+    """Host-side compaction: per-stream decode-ready u16 arrays.
+
+    Reproduces the reference's end-of-fold flush + word reversal
+    (QNBLIC.c:250-253, 277-287): decode order is [state_hi, state_lo,
+    emitted words in reverse fold order].
+    """
+    words = np.asarray(words)
+    emits = np.asarray(emits)
+    state = np.asarray(state)
+    out = []
+    for t in range(words.shape[0]):
+        emitted = words[t][emits[t]].astype(np.uint16)
+        head = np.array(
+            [(state[t] >> ANS_BITS) & ANS_MASK, state[t] & ANS_MASK], dtype=np.uint16
+        )
+        out.append(np.concatenate([head, emitted[::-1]]))
+    return out
+
+
+def dec_start(words: jnp.ndarray):
+    """Initial decoder state from the first two stream words (QNBLIC.c:256-260).
+
+    words: (W,) uint16/int32 one stream.  Returns (state uint32, ptr int32).
+    """
+    w = words.astype(jnp.uint32)
+    state = (w[0] << ANS_BITS) | w[1]
+    return state, jnp.int32(2)
+
+
+def dec_step(state, ptr, words, h, ha, lb):
+    """One rANS symbol-decode state advance (QNBLIC.c:263-274).
+
+    The symbol itself is looked up by the caller (lut[qd, state & NORM_MASK])
+    because the table layout differs between engines; this advances the state
+    given the symbol's (freq, acc) and the pre-extracted low bits ``lb``.
+    """
+    state = (state >> NORM_BITS) * h.astype(jnp.uint32) + lb - ha.astype(jnp.uint32)
+    need = state < ANS_LOW_BOUND
+    nxt = words[jnp.minimum(ptr, words.shape[0] - 1)].astype(jnp.uint32)
+    state = jnp.where(need, (state << ANS_BITS) | nxt, state)
+    ptr = ptr + need.astype(jnp.int32)
+    return state, ptr

@@ -1,0 +1,54 @@
+"""Scan-side sliding-window machinery for fused per-pixel decode loops.
+
+The lockstep decode scans (NBTC tiles, interop Q0.2) carry the reference's
+12-register causal window through the raster walk: fresh-sampled at each row
+start (QNBLIC.c:48-64 at j=0), slid one column per pixel (QNBLIC.c:67-79).
+All lanes march over the same (i, j), so every access is uniform across
+lanes — per-lane state is O(1) registers plus the previous two rows.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..constants import MID_VAL
+from .neighbors import Neighbors
+from .predict import activity, context_address, quantize_activity, simple_predict
+
+
+def row_start_window(i, prev1, prev2, w: int):
+    """Fresh window registers at (i, 0). prev1/prev2: previous two rows (w,)."""
+    mid = jnp.int32(MID_VAL)
+    a = jnp.where(i > 0, prev1[0], mid)
+    b = a
+    e = a
+    c = b
+    d = jnp.where(i > 0, prev1[1], b) if w > 1 else b
+    f = jnp.where(i > 1, prev2[0], b)
+    g = jnp.where(i > 1, prev2[1], f) if w > 1 else f
+    h = f
+    q = c
+    r = jnp.where(i > 1, prev2[2], g) if w > 2 else g
+    s = h
+    return (a, b, c, d, e, f, g, h, q, r, s)
+
+
+def slide_window(regs, x, i, j, prev1, prev2, w: int):
+    """One-column slide after coding pixel (i, j) with value x."""
+    a, b, c, d, e, f, g, h, q, r, s = regs
+    e2, a2, q2, c2, b2 = a, x, c, b, d
+    s2, h2, f2, g2 = h, f, g, r
+    nxt1 = prev1[jnp.minimum(j + 2, w - 1)]
+    d2 = jnp.where(i <= 0, a2, jnp.where(j + 2 >= w, d, nxt1))
+    nxt2 = prev2[jnp.minimum(j + 3, w - 1)]
+    r2 = jnp.where(i <= 1, d2, jnp.where(j + 3 >= w, r, nxt2))
+    return (a2, b2, c2, d2, e2, f2, g2, h2, q2, r2, s2)
+
+
+def pixel_model(regs, err):
+    """Per-pixel effort-0 modeling on window registers -> (px0, qd, adr)."""
+    nb = Neighbors(*regs)
+    px0 = simple_predict(nb)
+    qd = quantize_activity(activity(nb, err))
+    adr = context_address(nb, px0, qd)
+    return px0, qd, adr

@@ -1,0 +1,3 @@
+"""Device-mesh sharding for multi-chip / multi-host encode."""
+
+from . import mesh  # noqa: F401

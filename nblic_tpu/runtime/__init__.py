@@ -73,6 +73,10 @@ def load() -> ctypes.CDLL:
         lib.nbrt_n_decode.argtypes = [u8p, i64, u8p, i64, i32p, i32p, i32p, i32p]
         lib.nbrt_q_model.restype = i64
         lib.nbrt_q_model.argtypes = [u8p, i32, i32, u8p, u8p, u32p]
+        lib.nbrt_q_stage1.restype = i64
+        lib.nbrt_q_stage1.argtypes = [
+            u8p, i32, i32, u8p, ctypes.POINTER(ctypes.c_uint16)
+        ]
         lib.nbrt_version.restype = ctypes.c_char_p
         lib.nbrt_version.argtypes = []
         _lib = lib
@@ -169,6 +173,25 @@ def n_decode(stream: bytes):
         near.value,
         effort.value,
     )
+
+
+def q_stage1(img: np.ndarray):
+    """Effort-0 parallel-stage oracle: per-pixel (px0, adr) planes.
+
+    Ground truth for the vectorized device modeling ops (ops/predict.py).
+    """
+    lib = load()
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    px0 = np.empty((h, w), dtype=np.uint8)
+    adr = np.empty((h, w), dtype=np.uint16)
+    _check(
+        lib.nbrt_q_stage1(
+            _as_u8p(img), h, w, _as_u8p(px0),
+            adr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        )
+    )
+    return px0, adr
 
 
 def q_model(img: np.ndarray):

@@ -502,6 +502,22 @@ extern "C" int64_t nbrt_q_decode(const uint8_t* stream, int64_t stream_len,
   return q::decode_impl(stream, stream_len, img_out, img_cap, height, width);
 }
 
+extern "C" int64_t nbrt_q_stage1(const uint8_t* img, int32_t height, int32_t width,
+                                 uint8_t* px0_out, uint16_t* adr_out) {
+  // Parallel-stage oracle: per-pixel uncorrected prediction and context
+  // address (the quantities the device modeling kernels must reproduce).
+  if (!size_ok(height, width)) return -1;
+  const i64 n_px = (i64)height * width;
+  const ImageView view(img, height, width);
+  std::vector<q::PixelMeta> meta(n_px);
+  q::model_rows(view, 0, height, meta.data());
+  for (i64 t = 0; t < n_px; ++t) {
+    px0_out[t] = meta[t].px0;
+    adr_out[t] = meta[t].adr;
+  }
+  return n_px;
+}
+
 extern "C" int64_t nbrt_q_model(const uint8_t* img, int32_t height, int32_t width,
                                 uint8_t* qd_out, uint8_t* y_out, uint32_t* hist_out) {
   if (!size_ok(height, width)) return -1;

@@ -96,8 +96,11 @@ class NbtcHeader:
     Layout (little-endian):
       magic (8B) | version-reserved u16 | profile u8 | near u8 |
       height u32 | width u32 | tile_h u16 | tile_w u16 |
-      n_tiles u32 | hist_len u32 |
-      then: hist_len bytes of RLE-coded shared histograms,
+      n_tiles u32 | bias_len u32 | hist_len u32 |
+      then: bias_len bytes — zlib-compressed int16[3072] static context-bias
+            table (the TPU-native replacement for the reference's sequential
+            per-context EWMA; see ops/context.py),
+      then: hist_len bytes of RLE-coded shared histograms (12 x 256),
       then: n_tiles * u32 per-tile stream byte lengths,
       then: concatenated per-tile payloads (each a forward-readable rANS stream).
     """
@@ -109,13 +112,14 @@ class NbtcHeader:
     tile_h: int
     tile_w: int
     n_tiles: int
+    bias_len: int
     hist_len: int
 
-    SIZE = len(NBTC_MAGIC) + 2 + 1 + 1 + 4 + 4 + 2 + 2 + 4 + 4
+    SIZE = len(NBTC_MAGIC) + 2 + 1 + 1 + 4 + 4 + 2 + 2 + 4 + 4 + 4
 
     def to_bytes(self) -> bytes:
         return NBTC_MAGIC + struct.pack(
-            "<HBBIIHHII",
+            "<HBBIIHHIII",
             0,
             self.profile,
             self.near,
@@ -124,6 +128,7 @@ class NbtcHeader:
             self.tile_h,
             self.tile_w,
             self.n_tiles,
+            self.bias_len,
             self.hist_len,
         )
 
@@ -131,10 +136,10 @@ class NbtcHeader:
     def from_bytes(cls, data: bytes) -> "NbtcHeader":
         if data[: len(NBTC_MAGIC)] != NBTC_MAGIC:
             raise ValueError("not an NBTC stream")
-        (_, profile, near, height, width, tile_h, tile_w, n_tiles, hist_len) = (
-            struct.unpack_from("<HBBIIHHII", data, len(NBTC_MAGIC))
-        )
-        return cls(profile, near, height, width, tile_h, tile_w, n_tiles, hist_len)
+        (_, profile, near, height, width, tile_h, tile_w, n_tiles, bias_len,
+         hist_len) = struct.unpack_from("<HBBIIHHIII", data, len(NBTC_MAGIC))
+        return cls(profile, near, height, width, tile_h, tile_w, n_tiles,
+                   bias_len, hist_len)
 
 
 def sniff_format(data: bytes) -> str:

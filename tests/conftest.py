@@ -6,7 +6,7 @@ dry-runs the multi-chip path via __graft_entry__.dryrun_multichip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# In the axon-tunnel environment the TPU backend registers itself as the
+# default regardless of JAX_PLATFORMS; pin the default device to CPU so unit
+# tests are hermetic (the bench runs on the real chip separately).
+import jax
+
+_cpu = jax.devices("cpu")
+jax.config.update("jax_default_device", _cpu[0])
 
 import numpy as np
 import pytest

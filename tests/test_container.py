@@ -21,7 +21,7 @@ def test_qnblic_header_roundtrip():
 
 
 def test_nbtc_header_roundtrip():
-    h = container.NbtcHeader(0, 2, 4096, 8192, 64, 128, 4096, 777)
+    h = container.NbtcHeader(0, 2, 4096, 8192, 64, 128, 4096, 321, 777)
     assert container.NbtcHeader.from_bytes(h.to_bytes()) == h
 
 
