@@ -67,6 +67,24 @@ def main() -> int:
         for im, d in zip(batch, dec_batch)
     )
     streams = [s for group in all_streams for s in group]
+
+    # device-compute-only encode throughput (tiles resident, result fetched
+    # next round) — isolates chip speed from the host<->device tunnel, which
+    # caps the end-to-end numbers in this environment (~40-80 MB/s link)
+    import jax
+    import jax.numpy as jnp
+
+    dev_ts = []
+    for batch in batches:
+        tiles = jnp.asarray(
+            np.stack([tiled.to_tiles(im, *tiled.DEFAULT_TILE) for im in batch])
+        )
+        jax.block_until_ready(tiled._encode_device_batch(tiles))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            jax.block_until_ready(tiled._encode_device_batch(tiles))
+        dev_ts.append((time.perf_counter() - t0) / reps)
+    dev_enc_mpix = n_px / sum(dev_ts) / 1e6
     total_bytes = sum(len(s) for s in streams)
     bpp = 8.0 * total_bytes / n_px
     enc_mpix = n_px / t_enc / 1e6
@@ -78,6 +96,7 @@ def main() -> int:
         "unit": "MPix/s/chip",
         "vs_baseline": round(enc_mpix / BASELINE_E1_ENC_MPIX_S, 2),
         "decode_mpix_s": round(dec_mpix, 2),
+        "device_encode_mpix_s": round(dev_enc_mpix, 2),
         "bpp": round(bpp, 4),
         "ref_bpp": REF_BPP,
         "lossless_roundtrip_ok": bool(ok),

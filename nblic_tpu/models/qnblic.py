@@ -130,6 +130,7 @@ def _decode_scan(words, hist_n, acc, lut_flat, h: int, w: int):
             col_body,
             (regs, jnp.int32(0), row0, ctx_arr, state, ptr),
             jnp.arange(w, dtype=jnp.int32),
+            unroll=4,
         )
         return (row, prev1, ctx_arr, state, ptr), row
 

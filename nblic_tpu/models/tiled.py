@@ -97,14 +97,100 @@ _model_lossless = jax.jit(_model_lossless_impl)
 _model_lossless_batch = jax.jit(jax.vmap(_model_lossless_impl))
 
 
+def _norm_hist_dev(h: jnp.ndarray) -> jnp.ndarray:
+    """Device-side histogram normalization to sum 2^15 (NBTC containers).
+
+    A vectorizable largest-bin remainder scheme replacing the reference's
+    loop-based ``normHist`` (QNBLIC.c:308-358) for the native format: scale
+    with a small reserve so every nonzero bin keeps >=1 and the floor sum
+    never overshoots, then dump the remainder on the argmax bin (capped at
+    2^15-1, spilling to the next slot like normHist's single-bin case).  Any
+    table summing to exactly 2^15 is decodable; this one is within ~1% of
+    the reference's entropy-optimal rounding.
+    """
+    total = h.sum()
+    nz = (h > 0).astype(jnp.int32)
+    scale = (NORM_SUM - 260.0) / jnp.maximum(total, 1).astype(jnp.float32)
+    s = jnp.floor(h.astype(jnp.float32) * scale).astype(jnp.int32) + nz
+    rem = NORM_SUM - s.sum()
+    top = jnp.argmax(s)
+    s = s.at[top].add(rem)
+    over = jnp.maximum(s[top] - (NORM_SUM - 1), 0)
+    s = s.at[top].add(-over).at[(top + 1) % N_SYM].add(over)
+    empty = jnp.zeros((N_SYM,), jnp.int32).at[0].set(NORM_SUM - 1).at[1].set(1)
+    return jnp.where(total == 0, empty, s)
+
+
+def _gather_tables(y, qd, hist_n, acc):
+    """Exact (freq, acc) lookup for every pixel via one-hot matmuls.
+
+    XLA's native gather is the encode bottleneck on TPU (~25 ns/elem); the
+    bilinear one-hot contraction runs on the MXU instead.  Tables are <=
+    2^15 so float32 at HIGHEST precision is exact.
+    """
+    p = y.size
+    idx = (qd.reshape(-1) * N_SYM + y.reshape(-1)).astype(jnp.int32)
+    table = jnp.stack([hist_n.reshape(-1), acc.reshape(-1)], -1)
+    t3 = table.reshape(24, 128, 2).astype(jnp.float32)
+    rows = jax.nn.one_hot(idx >> 7, 24, dtype=jnp.float32)
+    cols = jax.nn.one_hot(idx & 127, 128, dtype=jnp.float32)
+    # contract the 128-wide axis first: (P,128) @ (128, 24*2) keeps the
+    # intermediate at (P, 48) floats
+    ctmp = jnp.einsum(
+        "pc,rcx->prx", cols, t3, precision=jax.lax.Precision.HIGHEST
+    )
+    out = jnp.einsum(
+        "pr,prx->px", rows, ctmp, precision=jax.lax.Precision.HIGHEST
+    )
+    freq = out[:, 0].astype(jnp.uint32)
+    facc = out[:, 1].astype(jnp.uint32)
+    return freq, facc
+
+
+def _encode_device_impl(tiles: jnp.ndarray):
+    """Whole lossless encode as ONE device program (no host round trips).
+
+    Returns a single packed int32 buffer per image:
+      [ lengths (T) | bias (3072) | hist_n (12*256) | payload words (cap/2) ]
+    so the host does exactly one upload (tiles) and one fetch per batch —
+    the device<->host link is the scarce resource under the TPU tunnel.
+    """
+    t = tiles.shape[0]
+    y, qd, bias, hist = _model_lossless_impl(tiles)
+    hist_n = jax.vmap(_norm_hist_dev)(hist)
+    acc = jnp.cumsum(hist_n.reshape(-1)).reshape(N_QD, N_SYM) - hist_n
+    acc = acc - (jnp.arange(N_QD, dtype=jnp.int32) * NORM_SUM)[:, None]
+    freq, facc = _gather_tables(y, qd, hist_n, acc)
+    words, emits, state = rans.encode_scan(
+        freq.reshape(t, -1), facc.reshape(t, -1)
+    )
+    flat_u16, lengths = rans.pack_streams(words, emits, state)
+    if flat_u16.shape[0] % 2:
+        flat_u16 = jnp.concatenate([flat_u16, jnp.zeros((1,), jnp.uint16)])
+    flat32 = flat_u16[0::2].astype(jnp.int32) | (
+        flat_u16[1::2].astype(jnp.int32) << 16
+    )
+    return jnp.concatenate(
+        [lengths, bias, hist_n.reshape(-1), flat32]
+    )
+
+
+_encode_device_batch = jax.jit(jax.vmap(_encode_device_impl))
+
+
 def _rans_fold_impl(y, qd, hist_n, acc):
-    """Parallel (freq, acc) gather + lockstep rANS fold over tiles."""
+    """Parallel (freq, acc) gather + lockstep rANS fold + device-side packing.
+
+    Returns (flat uint16 packed streams, per-tile word lengths); only the
+    compressed prefix of ``flat`` is ever fetched to the host.
+    """
     t = y.shape[0]
     ys = y.reshape(t, -1)
     qs = qd.reshape(t, -1)
     freq = hist_n[qs, ys]
     facc = acc[qs, ys]
-    return rans.encode_scan(freq, facc)
+    words, emits, state = rans.encode_scan(freq, facc)
+    return rans.pack_streams(words, emits, state)
 
 
 _rans_fold = jax.jit(_rans_fold_impl)
@@ -259,24 +345,37 @@ def encode(
     tile_w: int = DEFAULT_TILE[1],
 ) -> bytes:
     """Encode a gray-8 image into an NBTC container (device-parallel)."""
+    if near == 0:
+        return encode_batch([img], near=0, tile_h=tile_h, tile_w=tile_w)[0]
+
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape
     check_size(h, w)
     tiles = jnp.asarray(to_tiles(img, tile_h, tile_w))
 
-    if near == 0:
-        y, qd, bias, hist_counts = _model_lossless(tiles)
-    else:
-        # encoder-side bias estimate from the lossless stage (any transmitted
-        # table is decodable; the scan replays whatever we send)
-        _, _, bias, _ = _model_lossless(tiles)
-        y, qd, hist_counts = _model_near(tiles, bias, tile_h, tile_w, near)
+    # encoder-side bias estimate from the lossless stage (any transmitted
+    # table is decodable; the scan replays whatever we send)
+    _, _, bias, _ = _model_lossless(tiles)
+    y, qd, hist_counts = _model_near(tiles, bias, tile_h, tile_w, near)
 
     hist_n, acc = _normalize_tables(np.asarray(hist_counts))
-    words, emits, state = _rans_fold(y, qd, jnp.asarray(hist_n), jnp.asarray(acc))
-    streams = rans.finalize_streams(words, emits, state)
+    flat, lengths_dev = _rans_fold(y, qd, jnp.asarray(hist_n), jnp.asarray(acc))
+    lengths = np.asarray(lengths_dev)
+    total = int(lengths.sum())
+    # one fixed-shape fetch (the packed buffer is ~2 B/px); dynamic slicing
+    # here would recompile per image
+    payload = np.asarray(flat)[:total].tobytes()
 
-    bias_bytes = zlib.compress(np.asarray(bias, dtype=np.int16).tobytes(), 6)
+    return _assemble_container(
+        h, w, tile_h, tile_w, near,
+        np.asarray(bias, dtype=np.int16), hist_n, lengths, payload,
+    )
+
+
+def _assemble_container(h, w, tile_h, tile_w, near, bias_i16, hist_n, lengths,
+                        payload: bytes) -> bytes:
+    bias_bytes = zlib.compress(bias_i16.tobytes(), 6)
+    bias_bytes += b"\x00" * (len(bias_bytes) & 1)  # keep u16 sections aligned
     hist_bytes = _serialize_hists(hist_n)
     header = NbtcHeader(
         profile=0,
@@ -285,13 +384,12 @@ def encode(
         width=w,
         tile_h=tile_h,
         tile_w=tile_w,
-        n_tiles=len(streams),
+        n_tiles=len(lengths),
         bias_len=len(bias_bytes),
         hist_len=len(hist_bytes),
     )
-    lengths = np.asarray([2 * len(s) for s in streams], dtype=np.uint32)
-    payload = b"".join(s.tobytes() for s in streams)
-    return header.to_bytes() + bias_bytes + hist_bytes + lengths.tobytes() + payload
+    lengths_b = (2 * lengths.astype(np.uint32)).tobytes()
+    return header.to_bytes() + bias_bytes + hist_bytes + lengths_b + payload
 
 
 def encode_batch(
@@ -315,40 +413,35 @@ def encode_batch(
             raise ValueError("encode_batch requires same-shape images")
     check_size(h, w)
     tiles = jnp.asarray(np.stack([to_tiles(im, tile_h, tile_w) for im in imgs]))
+    n_tiles = tiles.shape[1]
 
-    y, qd, bias, hist_counts = _model_lossless_batch(tiles)
-    hist_np = np.asarray(hist_counts)
-    tables = [_normalize_tables(hist_np[b]) for b in range(len(imgs))]
-    hist_n = jnp.asarray(np.stack([t[0] for t in tables]))
-    acc = jnp.asarray(np.stack([t[1] for t in tables]))
-    words, emits, state = _rans_fold_batch(y, qd, hist_n, acc)
+    # ONE device program + ONE fetch for the whole batch (the tunnel round
+    # trip dominates everything else; see SURVEY.md §7.3.5)
+    packed = np.asarray(_encode_device_batch(tiles))
 
-    words_np, emits_np, state_np = (
-        np.asarray(words),
-        np.asarray(emits),
-        np.asarray(state),
-    )
-    bias_np = np.asarray(bias, dtype=np.int16)
     out = []
     for b in range(len(imgs)):
-        streams = rans.finalize_streams(words_np[b], emits_np[b], state_np[b])
-        bias_bytes = zlib.compress(bias_np[b].tobytes(), 6)
-        hist_bytes = _serialize_hists(tables[b][0])
-        header = NbtcHeader(
-            profile=0,
-            near=0,
-            height=h,
-            width=w,
-            tile_h=tile_h,
-            tile_w=tile_w,
-            n_tiles=len(streams),
-            bias_len=len(bias_bytes),
-            hist_len=len(hist_bytes),
+        pos = 0
+        lengths = packed[b, pos : pos + n_tiles].astype(np.uint32)
+        pos += n_tiles
+        bias_i16 = packed[b, pos : pos + Q_N_CONTEXT].astype(np.int16)
+        pos += Q_N_CONTEXT
+        hist_n = packed[b, pos : pos + N_QD * N_SYM].astype(np.uint32).reshape(
+            N_QD, N_SYM
         )
-        lengths = np.asarray([2 * len(s) for s in streams], dtype=np.uint32)
-        payload = b"".join(s.tobytes() for s in streams)
+        pos += N_QD * N_SYM
+        total = int(lengths.sum())
+        n32 = (total + 1) // 2
+        payload = (
+            packed[b, pos : pos + n32]
+            .astype(np.uint32)
+            .view(np.uint16)[: total]
+            .tobytes()
+        )
         out.append(
-            header.to_bytes() + bias_bytes + hist_bytes + lengths.tobytes() + payload
+            _assemble_container(
+                h, w, tile_h, tile_w, 0, bias_i16, hist_n, lengths, payload
+            )
         )
     return out
 
@@ -380,14 +473,10 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
         lut = np.stack(
             [hist_ops.decode_lut(a.astype(np.uint32)) for a in acc]
         ).astype(np.int32)
-        counts = lengths // 2
+        counts = (lengths // 2).astype(np.int64)
         wmax = max(wmax, int(counts.max()))
-        per_tile = []
-        for n in counts:
-            n = int(n)
-            per_tile.append(np.frombuffer(s[pos : pos + 2 * n], dtype=np.uint16))
-            pos += 2 * n
-        tile_words.append(per_tile)
+        flat = np.frombuffer(s, dtype=np.uint16, offset=pos)
+        tile_words.append((flat, counts))
         biases.append(bias)
         hist_ns.append(hist_n)
         accs.append(acc.astype(np.int32))
@@ -395,11 +484,9 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
 
     wmax = -(-wmax // 512) * 512
     b = len(streams)
-    t = h0.n_tiles
-    stream_mat = np.zeros((b, t, wmax), dtype=np.int32)
-    for bi in range(b):
-        for ti, wrds in enumerate(tile_words[bi]):
-            stream_mat[bi, ti, : len(wrds)] = wrds
+    stream_mat = np.stack(
+        [rans.pad_streams(flat, counts, wmax) for flat, counts in tile_words]
+    )
 
     tiles = _decode_tiles_batch(
         jnp.asarray(stream_mat),
@@ -439,15 +526,11 @@ def decode(stream: bytes) -> np.ndarray:
 
     # pad per-tile streams into a lockstep matrix (bucket the width to limit
     # recompilation across images)
-    word_counts = lengths // 2
+    word_counts = (lengths // 2).astype(np.int64)
     wmax = int(word_counts.max()) if hdr.n_tiles else 2
     wmax = -(-max(wmax, 2) // 512) * 512
-    streams_np = np.zeros((hdr.n_tiles, wmax), dtype=np.int32)
-    for t in range(hdr.n_tiles):
-        n = int(word_counts[t])
-        raw = np.frombuffer(stream[pos : pos + 2 * n], dtype=np.uint16)
-        streams_np[t, :n] = raw
-        pos += 2 * n
+    flat = np.frombuffer(stream, dtype=np.uint16, offset=pos)
+    streams_np = rans.pad_streams(flat, word_counts, wmax)
 
     tiles = _decode_tiles(
         jnp.asarray(streams_np),

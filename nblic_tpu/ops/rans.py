@@ -55,10 +55,56 @@ def encode_scan(freq: jnp.ndarray, acc: jnp.ndarray):
     # derive the init from the input so its sharding/varying-axis metadata
     # matches under shard_map (a literal init trips the scan vma check)
     state0 = jnp.full_like(freq[:, 0], ANS_LOW_BOUND)
-    # fold walks the symbol sequence backwards
+    # fold walks the symbol sequence backwards; unroll amortizes the TPU
+    # loop-step overhead over several symbols
     xs = (freq[:, ::-1].T, acc[:, ::-1].T)
-    state, (words, emits) = jax.lax.scan(step, state0, xs)
+    state, (words, emits) = jax.lax.scan(step, state0, xs, unroll=8)
     return words.T, emits.T, state
+
+
+def pack_streams(words, emits, state):
+    """Device-side compaction of S fold outputs into decode-ready streams.
+
+    Returns (flat, lengths): ``flat`` is a (S*(L+2),) uint16 buffer holding
+    every stream back to back in decode order ([state_hi, state_lo, emitted
+    words reversed]); ``lengths`` (S,) int32 gives each stream's word count.
+    Only ``flat[:lengths.sum()]`` is meaningful — callers fetch the lengths
+    first and then slice, so the host transfer is the *compressed* size, not
+    the padded fold layout.
+    """
+    s, l = words.shape
+    cap = s * (l + 2)
+    counts = jnp.sum(emits, axis=1, dtype=jnp.int32)
+    lengths = counts + 2
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lengths)[:-1].astype(jnp.int32)]
+    )
+    rank = jnp.cumsum(emits, axis=1, dtype=jnp.int32) - 1  # fold-order rank
+    # decode order reverses the emitted words after the two state words
+    pos = offsets[:, None] + 2 + (counts[:, None] - 1 - rank)
+    idx = jnp.where(emits, pos, cap)  # dropped by scatter mode="drop"
+    flat = jnp.zeros((cap,), jnp.int32)
+    flat = flat.at[idx.reshape(-1)].set(words.reshape(-1), mode="drop")
+    st = state.astype(jnp.int32)
+    flat = flat.at[offsets].set((st >> ANS_BITS) & ANS_MASK)
+    flat = flat.at[offsets + 1].set(st & ANS_MASK)
+    return flat.astype(jnp.uint16), lengths
+
+
+def split_streams(flat: np.ndarray, lengths: np.ndarray) -> list[np.ndarray]:
+    """Host-side split of a packed buffer into per-stream u16 arrays."""
+    bounds = np.cumsum(lengths)[:-1]
+    return np.split(np.asarray(flat, dtype=np.uint16), bounds)
+
+
+def pad_streams(flat: np.ndarray, lengths: np.ndarray, wmax: int) -> np.ndarray:
+    """Host-side layout of packed streams into a (S, wmax) lockstep matrix."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    idx = offsets[:, None] + np.arange(wmax)[None, :]
+    mask = np.arange(wmax)[None, :] < lengths[:, None]
+    idx = np.minimum(idx, len(flat) - 1)
+    return np.where(mask, np.asarray(flat)[idx], 0).astype(np.int32)
 
 
 def finalize_streams(words, emits, state) -> list[np.ndarray]:

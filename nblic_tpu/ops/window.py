@@ -52,3 +52,32 @@ def pixel_model(regs, err):
     qd = quantize_activity(activity(nb, err))
     adr = context_address(nb, px0, qd)
     return px0, qd, adr
+
+
+def fresh_window_rows(i, j, cur, prev1, prev2, w: int) -> Neighbors:
+    """Fresh per-pixel sampling from carried rows (NBLIC.c:287-304).
+
+    The NBLIC (effort 1-3) engine re-samples the full template at every
+    pixel; in a fused scan the causal data lives in three carried rows:
+    ``cur`` (row i, written up to column j-1), ``prev1`` (row i-1),
+    ``prev2`` (row i-2).
+    """
+    mid = jnp.int32(MID_VAL)
+
+    def at(row, idx, ok, default):
+        return jnp.where(ok, row[jnp.clip(idx, 0, w - 1)], default)
+
+    a = at(cur, j - 1, j >= 1, mid)
+    b = at(prev1, j, i >= 1, mid)
+    b = jnp.where(i == 0, a, b)
+    a = jnp.where((i > 0) & (j == 0), b, a)
+    e = at(cur, j - 2, j >= 2, a)
+    c = at(prev1, j - 1, (i >= 1) & (j >= 1), b)
+    d = at(prev1, j + 1, (i >= 1) & (j + 1 < w), b)
+    f = at(prev2, j, i >= 2, b)
+    g = at(prev2, j + 1, (i >= 2) & (j + 1 < w), f)
+    h = at(prev2, j - 1, (i >= 2) & (j >= 1), f)
+    q = at(prev1, j - 2, (i >= 1) & (j >= 2), c)
+    r = at(prev2, j + 2, (i >= 2) & (j + 2 < w), g)
+    s = at(prev2, j - 2, (i >= 2) & (j >= 2), h)
+    return Neighbors(a, b, c, d, e, f, g, h, q, r, s)

@@ -77,6 +77,9 @@ def load() -> ctypes.CDLL:
         lib.nbrt_q_stage1.argtypes = [
             u8p, i32, i32, u8p, ctypes.POINTER(ctypes.c_uint16)
         ]
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        lib.nbrt_n_stage1.restype = i64
+        lib.nbrt_n_stage1.argtypes = [u8p, i32, i32, u8p, i16p, i16p, i16p, i16p]
         lib.nbrt_version.restype = ctypes.c_char_p
         lib.nbrt_version.argtypes = []
         _lib = lib
@@ -192,6 +195,27 @@ def q_stage1(img: np.ndarray):
         )
     )
     return px0, adr
+
+
+def n_stage1(img: np.ndarray):
+    """Effort-1 lossless parallel-stage oracle: (px0, qu, qv, qw, adr) planes."""
+    lib = load()
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    px0 = np.empty((h, w), dtype=np.uint8)
+    qu = np.empty((h, w), dtype=np.int16)
+    qv = np.empty((h, w), dtype=np.int16)
+    qw = np.empty((h, w), dtype=np.int16)
+    adr = np.empty((h, w), dtype=np.int16)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    _check(
+        lib.nbrt_n_stage1(
+            _as_u8p(img), h, w, _as_u8p(px0),
+            qu.ctypes.data_as(i16p), qv.ctypes.data_as(i16p),
+            qw.ctypes.data_as(i16p), adr.ctypes.data_as(i16p),
+        )
+    )
+    return px0, qu, qv, qw, adr
 
 
 def q_model(img: np.ndarray):

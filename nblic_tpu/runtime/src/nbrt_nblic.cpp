@@ -637,4 +637,33 @@ extern "C" int64_t nbrt_n_decode(const uint8_t* stream, int64_t stream_len,
                         effort);
 }
 
+extern "C" int64_t nbrt_n_stage1(const uint8_t* img, int32_t height, int32_t width,
+                                 uint8_t* px0_out, int16_t* qu_out, int16_t* qv_out,
+                                 int16_t* qw_out, int16_t* adr_out) {
+  // Effort-1 lossless parallel-stage oracle: per-pixel blend prediction,
+  // dual-bin activity quantization, and context address computed from the
+  // original image (reconstruction == original at near=0, so the stage is
+  // embarrassingly parallel; ground truth for ops/predict.py's NBLIC path).
+  if (!size_ok(height, width)) return -1;
+  const ImageView view(img, height, width);
+  i64 t = 0;
+  for (int i = 0; i < height; ++i) {
+    int prev_err = 0;
+    for (int j = 0; j < width; ++j, ++t) {
+      const Window v = view.fresh(i, j);
+      const int px0 = n::blend_predict(v);
+      const n::Quantized qz = n::quantize_activity(v, prev_err);
+      const int adr = n::context_address(v, qz.qu, px0);
+      const int x = img[(i64)i * width + j];
+      prev_err = clip(x - px0, -n::kMaxPxInc, n::kMaxPxInc);
+      px0_out[t] = (u8)px0;
+      qu_out[t] = (int16_t)qz.qu;
+      qv_out[t] = (int16_t)qz.qv;
+      qw_out[t] = (int16_t)qz.qw;
+      adr_out[t] = (int16_t)adr;
+    }
+  }
+  return t;
+}
+
 extern "C" const char* nbrt_version(void) { return "nbrt-0.1.0"; }
