@@ -15,6 +15,14 @@ from pathlib import Path
 
 import numpy as np
 
+import jax
+
+# persistent compile cache: the fused encode program takes minutes to build
+# through the remote-compile tunnel; cache it across bench runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 KODAK = Path("/root/reference/img_kodak")
 BASELINE_E1_ENC_MPIX_S = 5.1  # BASELINE.md: reproduced single-core C at -e1
 REF_BPP = {"e0": 4.227, "e1": 4.146, "e2": 4.088, "e3": 4.066}

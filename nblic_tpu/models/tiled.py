@@ -147,35 +147,64 @@ def _gather_tables(y, qd, hist_n, acc):
     return freq, facc
 
 
-def _encode_device_impl(tiles: jnp.ndarray):
-    """Whole lossless encode as ONE device program (no host round trips).
+# interleave-group width: one shared-cursor stream per G tiles (profile 1)
+G_LANES = 128
 
-    Returns a single packed int32 buffer per image:
-      [ lengths (T) | bias (3072) | hist_n (12*256) | payload words (cap/2) ]
-    so the host does exactly one upload (tiles) and one fetch per batch —
-    the device<->host link is the scarce resource under the TPU tunnel.
+
+def _finish_encode_device(y, qd, bias):
+    """Histogram build/normalize + rANS fold + interleaved group packing.
+
+    Shared tail of the lossless and near-lossless encoders.  Returns one
+    packed int32 buffer:
+      [ group totals (n_groups) | bias (3072) | hist_n (12*256) |
+        group payloads (n_groups * cap_g/2 packed u16 pairs) ]
+    so the host does exactly one upload and one fetch per batch — the
+    device<->host link is the scarce resource under the TPU tunnel.
     """
-    t = tiles.shape[0]
-    y, qd, bias, hist = _model_lossless_impl(tiles)
+    t = y.shape[0]
+    hist = (
+        jnp.zeros((N_QD, N_SYM), jnp.int32)
+        .at[qd.reshape(-1), y.reshape(-1)]
+        .add(1)
+    )
     hist_n = jax.vmap(_norm_hist_dev)(hist)
     acc = jnp.cumsum(hist_n.reshape(-1)).reshape(N_QD, N_SYM) - hist_n
     acc = acc - (jnp.arange(N_QD, dtype=jnp.int32) * NORM_SUM)[:, None]
     freq, facc = _gather_tables(y, qd, hist_n, acc)
-    words, emits, state = rans.encode_scan(
-        freq.reshape(t, -1), facc.reshape(t, -1)
+    freq = freq.reshape(t, -1)
+    facc = facc.reshape(t, -1)
+    l = freq.shape[1]
+
+    # pad the lane count to the group width with identity symbols
+    # (freq == 2^15 encodes nothing and never renormalizes)
+    n_groups = -(-t // G_LANES)
+    t_pad = n_groups * G_LANES
+    if t_pad > t:
+        freq = jnp.concatenate(
+            [freq, jnp.full((t_pad - t, l), NORM_SUM, freq.dtype)]
+        )
+        facc = jnp.concatenate([facc, jnp.zeros((t_pad - t, l), facc.dtype)])
+
+    words, emits, state = rans.encode_scan(freq, facc)
+    flats, totals = jax.vmap(rans.interleave_pack)(
+        words.reshape(n_groups, G_LANES, l),
+        emits.reshape(n_groups, G_LANES, l),
+        state.reshape(n_groups, G_LANES),
     )
-    flat_u16, lengths = rans.pack_streams(words, emits, state)
-    if flat_u16.shape[0] % 2:
-        flat_u16 = jnp.concatenate([flat_u16, jnp.zeros((1,), jnp.uint16)])
-    flat32 = flat_u16[0::2].astype(jnp.int32) | (
-        flat_u16[1::2].astype(jnp.int32) << 16
-    )
+    flat32 = flats[:, 0::2] | (flats[:, 1::2] << 16)
     return jnp.concatenate(
-        [lengths, bias, hist_n.reshape(-1), flat32]
+        [totals, bias, hist_n.reshape(-1), flat32.reshape(-1)]
     )
+
+
+def _encode_device_impl(tiles: jnp.ndarray):
+    """Whole lossless encode as ONE device program (no host round trips)."""
+    y, qd, bias, _ = _model_lossless_impl(tiles)
+    return _finish_encode_device(y, qd, bias)
 
 
 _encode_device_batch = jax.jit(jax.vmap(_encode_device_impl))
+_finish_encode_jit = jax.jit(_finish_encode_device)
 
 
 def _rans_fold_impl(y, qd, hist_n, acc):
@@ -280,6 +309,73 @@ def _tile_encode_scan(tile, bias, th: int, tw: int, near: int):
     return y, qd
 
 
+def _group_decode_scan(stream, n_active, bias, hist_n, acc, lut_flat,
+                       th: int, tw: int, near: int, g: int):
+    """Lockstep decode of one interleaved group (profile 1): all ``g`` lanes
+    march in raster lockstep, renormalizing against ONE shared stream cursor
+    (ops/rans.py interleave layout).  Returns (g, th, tw) int32 tiles."""
+    state, sp = rans.interleaved_dec_init(stream, g)
+    active = jnp.arange(g, dtype=jnp.int32) < n_active
+    hist_u = hist_n.astype(jnp.uint32)
+    acc_u = acc.astype(jnp.uint32)
+
+    def row_body(carry, i):
+        prev1, prev2, state, sp = carry  # rows: (g, tw)
+        regs = row_start_window(i, prev1, prev2, tw)
+
+        def col_body(c, j):
+            regs, err, row, state, sp = c
+            px0, qd, adr = pixel_model(regs, err)
+            px, sign = ctx_ops.apply_static_bias(bias, adr, px0)
+            lb = (state & rans.NORM_MASK).astype(jnp.int32)
+            y = lut_flat[qd * NORM_SUM + lb]
+            state = (state >> rans.NORM_BITS) * hist_u[qd, y] + lb.astype(
+                jnp.uint32
+            ) - acc_u[qd, y]
+            state, sp = rans.interleaved_dec_renorm(state, sp, stream, active)
+            x = ctx_ops.residual_unfold(y, px, sign, near)
+            err = x - px0
+            row = row.at[:, j].set(x)
+            regs = slide_window(regs, x, i, j, prev1, prev2, tw)
+            return (regs, err, row, state, sp), None
+
+        row0 = jnp.zeros((g, tw), jnp.int32)
+        err0 = jnp.zeros((g,), jnp.int32)
+        (_, _, row, state, sp), _ = jax.lax.scan(
+            col_body,
+            (regs, err0, row0, state, sp),
+            jnp.arange(tw, dtype=jnp.int32),
+        )
+        return (row, prev1, state, sp), row
+
+    init = (
+        jnp.zeros((g, tw), jnp.int32),
+        jnp.zeros((g, tw), jnp.int32),
+        state,
+        sp,
+    )
+    _, rows = jax.lax.scan(row_body, init, jnp.arange(th, dtype=jnp.int32))
+    return jnp.transpose(rows, (1, 0, 2))  # (th, g, tw) -> (g, th, tw)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _decode_groups(streams, n_active, bias, hist_n, acc, lut_flat,
+                   th: int, tw: int, near: int, g: int):
+    fn = functools.partial(_group_decode_scan, th=th, tw=tw, near=near, g=g)
+    return jax.vmap(fn, in_axes=(0, 0, None, None, None, None))(
+        streams, n_active, bias, hist_n, acc, lut_flat
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _decode_groups_batch(streams, n_active, bias, hist_n, acc, lut_flat,
+                         th: int, tw: int, near: int, g: int):
+    """Batched over images: streams (B, n_groups, W), per-image tables."""
+    fn = functools.partial(_group_decode_scan, th=th, tw=tw, near=near, g=g)
+    per_image = jax.vmap(fn, in_axes=(0, 0, None, None, None, None))
+    return jax.vmap(per_image)(streams, n_active, bias, hist_n, acc, lut_flat)
+
+
 @functools.partial(jax.jit, static_argnums=(5, 6, 7))
 def _decode_tiles(streams, bias, hist_n, acc, lut_flat, th: int, tw: int, near: int):
     fn = functools.partial(
@@ -356,40 +452,60 @@ def encode(
     # encoder-side bias estimate from the lossless stage (any transmitted
     # table is decodable; the scan replays whatever we send)
     _, _, bias, _ = _model_lossless(tiles)
-    y, qd, hist_counts = _model_near(tiles, bias, tile_h, tile_w, near)
-
-    hist_n, acc = _normalize_tables(np.asarray(hist_counts))
-    flat, lengths_dev = _rans_fold(y, qd, jnp.asarray(hist_n), jnp.asarray(acc))
-    lengths = np.asarray(lengths_dev)
-    total = int(lengths.sum())
-    # one fixed-shape fetch (the packed buffer is ~2 B/px); dynamic slicing
-    # here would recompile per image
-    payload = np.asarray(flat)[:total].tobytes()
-
-    return _assemble_container(
-        h, w, tile_h, tile_w, near,
-        np.asarray(bias, dtype=np.int16), hist_n, lengths, payload,
-    )
+    y, qd, _ = _model_near(tiles, bias, tile_h, tile_w, near)
+    packed = np.asarray(_finish_encode_jit(y, qd, bias))[None]
+    return _unpack_containers(
+        packed, 1, tiles.shape[0], h, w, tile_h, tile_w, near
+    )[0]
 
 
-def _assemble_container(h, w, tile_h, tile_w, near, bias_i16, hist_n, lengths,
-                        payload: bytes) -> bytes:
-    bias_bytes = zlib.compress(bias_i16.tobytes(), 6)
-    bias_bytes += b"\x00" * (len(bias_bytes) & 1)  # keep u16 sections aligned
-    hist_bytes = _serialize_hists(hist_n)
-    header = NbtcHeader(
-        profile=0,
-        near=near,
-        height=h,
-        width=w,
-        tile_h=tile_h,
-        tile_w=tile_w,
-        n_tiles=len(lengths),
-        bias_len=len(bias_bytes),
-        hist_len=len(hist_bytes),
-    )
-    lengths_b = (2 * lengths.astype(np.uint32)).tobytes()
-    return header.to_bytes() + bias_bytes + hist_bytes + lengths_b + payload
+def _unpack_containers(packed, n_imgs, n_tiles, h, w, tile_h, tile_w, near):
+    """Split the fetched device buffer(s) into NBTC profile-1 containers."""
+    l = tile_h * tile_w
+    n_groups = -(-n_tiles // G_LANES)
+    cap32 = G_LANES * (l + 2) // 2
+    out = []
+    for b in range(n_imgs):
+        pos = 0
+        totals = packed[b, pos : pos + n_groups].astype(np.uint32)
+        pos += n_groups
+        bias_i16 = packed[b, pos : pos + Q_N_CONTEXT].astype(np.int16)
+        pos += Q_N_CONTEXT
+        hist_n = (
+            packed[b, pos : pos + N_QD * N_SYM]
+            .astype(np.uint32)
+            .reshape(N_QD, N_SYM)
+        )
+        pos += N_QD * N_SYM
+        chunks = []
+        for g in range(n_groups):
+            total = int(totals[g])
+            span = packed[b, pos : pos + (total + 1) // 2].astype(np.uint32)
+            chunks.append(span.view(np.uint16)[:total].tobytes())
+            pos += cap32
+        payload = b"".join(chunks)
+
+        bias_bytes = zlib.compress(bias_i16.tobytes(), 6)
+        bias_bytes += b"\x00" * (len(bias_bytes) & 1)  # keep u16 aligned
+        hist_bytes = _serialize_hists(hist_n)
+        meta = np.asarray(
+            [G_LANES, n_groups] + [2 * int(t) for t in totals], dtype=np.uint32
+        ).tobytes()
+        header = NbtcHeader(
+            profile=1,
+            near=near,
+            height=h,
+            width=w,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            n_tiles=n_tiles,
+            bias_len=len(bias_bytes),
+            hist_len=len(hist_bytes),
+        )
+        out.append(
+            header.to_bytes() + bias_bytes + hist_bytes + meta + payload
+        )
+    return out
 
 
 def encode_batch(
@@ -416,132 +532,190 @@ def encode_batch(
     n_tiles = tiles.shape[1]
 
     # ONE device program + ONE fetch for the whole batch (the tunnel round
-    # trip dominates everything else; see SURVEY.md §7.3.5)
+    # trip dominates everything else)
     packed = np.asarray(_encode_device_batch(tiles))
-
-    out = []
-    for b in range(len(imgs)):
-        pos = 0
-        lengths = packed[b, pos : pos + n_tiles].astype(np.uint32)
-        pos += n_tiles
-        bias_i16 = packed[b, pos : pos + Q_N_CONTEXT].astype(np.int16)
-        pos += Q_N_CONTEXT
-        hist_n = packed[b, pos : pos + N_QD * N_SYM].astype(np.uint32).reshape(
-            N_QD, N_SYM
-        )
-        pos += N_QD * N_SYM
-        total = int(lengths.sum())
-        n32 = (total + 1) // 2
-        payload = (
-            packed[b, pos : pos + n32]
-            .astype(np.uint32)
-            .view(np.uint16)[: total]
-            .tobytes()
-        )
-        out.append(
-            _assemble_container(
-                h, w, tile_h, tile_w, 0, bias_i16, hist_n, lengths, payload
-            )
-        )
-    return out
+    return _unpack_containers(
+        packed, len(imgs), n_tiles, h, w, tile_h, tile_w, 0
+    )
 
 
 def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
     """Decode a batch of same-geometry NBTC containers in one device program."""
-    hdrs = [NbtcHeader.from_bytes(s) for s in streams]
-    h0 = hdrs[0]
+    parsed = [_Parsed(s) for s in streams]
+    h0 = parsed[0].hdr
     if any(
-        (h.height, h.width, h.tile_h, h.tile_w, h.near)
-        != (h0.height, h0.width, h0.tile_h, h0.tile_w, h0.near)
-        for h in hdrs
+        (p.hdr.height, p.hdr.width, p.hdr.tile_h, p.hdr.tile_w, p.hdr.near,
+         p.hdr.profile)
+        != (h0.height, h0.width, h0.tile_h, h0.tile_w, h0.near, h0.profile)
+        for p in parsed
     ):
         return [decode(s) for s in streams]
 
-    biases, hist_ns, accs, luts, tile_words = [], [], [], [], []
-    wmax = 2
-    for s, hdr in zip(streams, hdrs):
-        pos = NbtcHeader.SIZE
-        bias = np.frombuffer(
-            zlib.decompress(s[pos : pos + hdr.bias_len]), dtype=np.int16
-        ).astype(np.int32)
-        pos += hdr.bias_len
-        hist_n = _deserialize_hists(s[pos : pos + hdr.hist_len]).astype(np.int32)
-        pos += hdr.hist_len
-        lengths = np.frombuffer(s[pos : pos + 4 * hdr.n_tiles], dtype=np.uint32)
-        pos += 4 * hdr.n_tiles
-        acc = np.stack([hist_ops.accumulate(hh.astype(np.uint32)) for hh in hist_n])
-        lut = np.stack(
-            [hist_ops.decode_lut(a.astype(np.uint32)) for a in acc]
-        ).astype(np.int32)
-        counts = (lengths // 2).astype(np.int64)
-        wmax = max(wmax, int(counts.max()))
-        flat = np.frombuffer(s, dtype=np.uint16, offset=pos)
-        tile_words.append((flat, counts))
-        biases.append(bias)
-        hist_ns.append(hist_n)
-        accs.append(acc.astype(np.int32))
-        luts.append(lut.reshape(-1))
-
-    wmax = -(-wmax // 512) * 512
     b = len(streams)
-    stream_mat = np.stack(
-        [rans.pad_streams(flat, counts, wmax) for flat, counts in tile_words]
-    )
+    wmax = _bucket(max(int(p.counts.max()) for p in parsed))
+    stream_mat = np.stack([p.stream_matrix(wmax) for p in parsed])
+    biases = jnp.asarray(np.stack([p.bias for p in parsed]))
+    hist_ns = jnp.asarray(np.stack([p.hist_n for p in parsed]))
+    accs = jnp.asarray(np.stack([p.acc for p in parsed]))
+    luts = jnp.asarray(np.stack([p.lut.reshape(-1) for p in parsed]))
 
-    tiles = _decode_tiles_batch(
-        jnp.asarray(stream_mat),
-        jnp.asarray(np.stack(biases)),
-        jnp.asarray(np.stack(hist_ns)),
-        jnp.asarray(np.stack(accs)),
-        jnp.asarray(np.stack(luts)),
-        h0.tile_h,
-        h0.tile_w,
-        h0.near,
-    )
-    tiles_np = np.asarray(tiles, dtype=np.uint8)
+    if h0.profile == 0:
+        tiles = _decode_tiles_batch(
+            jnp.asarray(stream_mat), biases, hist_ns, accs, luts,
+            h0.tile_h, h0.tile_w, h0.near,
+        )
+        tiles_np = np.asarray(tiles, dtype=np.uint8)
+    elif _use_pallas():
+        from ..ops import pallas_decode
+
+        n_active = jnp.asarray(
+            np.concatenate([p.n_active() for p in parsed])
+        )
+        flat_streams = jnp.asarray(
+            stream_mat.reshape(-1, stream_mat.shape[-1]).astype(np.int32)
+        )
+        tiles = pallas_decode.decode_groups_pallas(
+            flat_streams, n_active, biases, hist_ns, accs,
+            h0.tile_h, h0.tile_w, h0.near, parsed[0].group_size,
+        )
+        tiles_np = np.asarray(tiles, dtype=np.uint8).reshape(
+            b, -1, h0.tile_h, h0.tile_w
+        )[:, : h0.n_tiles]
+    else:
+        n_active = jnp.asarray(np.stack([p.n_active() for p in parsed]))
+        tiles = _decode_groups_batch(
+            jnp.asarray(stream_mat), n_active, biases, hist_ns, accs, luts,
+            h0.tile_h, h0.tile_w, h0.near, parsed[0].group_size,
+        )
+        tiles_np = np.asarray(tiles, dtype=np.uint8).reshape(
+            b, -1, h0.tile_h, h0.tile_w
+        )[:, : h0.n_tiles]
     return [
         from_tiles(tiles_np[bi], h0.height, h0.width, h0.tile_h, h0.tile_w)
         for bi in range(b)
     ]
 
 
+def _use_pallas() -> bool:
+    """Use the Mosaic decode kernel when a real TPU is the default backend."""
+    import os
+
+    if os.environ.get("NBLIC_TPU_NO_PALLAS"):
+        return False
+    dd = jax.config.jax_default_device
+    if dd is not None:  # tests pin the default device to CPU
+        return getattr(dd, "platform", None) == "tpu"
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
+class _Parsed:
+    """Host-side view of one NBTC container."""
+
+    def __init__(self, stream: bytes):
+        self.hdr = hdr = NbtcHeader.from_bytes(stream)
+        check_size(hdr.height, hdr.width)
+        pos = NbtcHeader.SIZE
+        self.bias = np.frombuffer(
+            zlib.decompress(stream[pos : pos + hdr.bias_len]), dtype=np.int16
+        ).astype(np.int32)
+        pos += hdr.bias_len
+        self.hist_n = _deserialize_hists(
+            stream[pos : pos + hdr.hist_len]
+        ).astype(np.int32)
+        pos += hdr.hist_len
+        self.acc = np.stack(
+            [hist_ops.accumulate(h.astype(np.uint32)) for h in self.hist_n]
+        ).astype(np.int32)
+        self.lut = np.stack(
+            [hist_ops.decode_lut(a.astype(np.uint32)) for a in self.acc]
+        ).astype(np.int32)
+
+        if hdr.profile == 0:
+            lengths = np.frombuffer(
+                stream[pos : pos + 4 * hdr.n_tiles], dtype=np.uint32
+            )
+            pos += 4 * hdr.n_tiles
+            self.counts = (lengths // 2).astype(np.int64)
+        elif hdr.profile == 1:
+            g, n_groups = np.frombuffer(stream[pos : pos + 8], dtype=np.uint32)
+            pos += 8
+            self.group_size = int(g)
+            lengths = np.frombuffer(
+                stream[pos : pos + 4 * int(n_groups)], dtype=np.uint32
+            )
+            pos += 4 * int(n_groups)
+            self.counts = (lengths // 2).astype(np.int64)
+        else:
+            raise ValueError(f"unknown NBTC profile {hdr.profile}")
+        self.payload = np.frombuffer(stream, dtype=np.uint16, offset=pos)
+
+    def stream_matrix(self, wmax: int) -> np.ndarray:
+        return rans.pad_streams(self.payload, self.counts, wmax)
+
+    def n_active(self) -> np.ndarray:
+        """Per-group active-lane counts (profile 1)."""
+        t = self.hdr.n_tiles
+        g = self.group_size
+        n_groups = len(self.counts)
+        return np.minimum(t - g * np.arange(n_groups, dtype=np.int64), g).astype(
+            np.int32
+        )
+
+
+def _bucket(wmax: int) -> int:
+    return -(-max(wmax, 2) // 512) * 512
+
+
 def decode(stream: bytes) -> np.ndarray:
     """Decode an NBTC container (tile-parallel lockstep scan on device)."""
-    hdr = NbtcHeader.from_bytes(stream)
-    check_size(hdr.height, hdr.width)
-    pos = NbtcHeader.SIZE
-    bias = np.frombuffer(
-        zlib.decompress(stream[pos : pos + hdr.bias_len]), dtype=np.int16
-    ).astype(np.int32)
-    pos += hdr.bias_len
-    hist_n = _deserialize_hists(stream[pos : pos + hdr.hist_len]).astype(np.int32)
-    pos += hdr.hist_len
-    lengths = np.frombuffer(stream[pos : pos + 4 * hdr.n_tiles], dtype=np.uint32)
-    pos += 4 * hdr.n_tiles
+    p = _Parsed(stream)
+    hdr = p.hdr
+    wmax = _bucket(int(p.counts.max()) if len(p.counts) else 2)
+    streams_np = p.stream_matrix(wmax)
 
-    acc = np.stack([hist_ops.accumulate(h.astype(np.uint32)) for h in hist_n])
-    lut = np.stack(
-        [hist_ops.decode_lut(a.astype(np.uint32)) for a in acc]
-    ).astype(np.int32)
+    if hdr.profile == 0:
+        tiles = _decode_tiles(
+            jnp.asarray(streams_np),
+            jnp.asarray(p.bias),
+            jnp.asarray(p.hist_n),
+            jnp.asarray(p.acc),
+            jnp.asarray(p.lut.reshape(-1)),
+            hdr.tile_h,
+            hdr.tile_w,
+            hdr.near,
+        )
+    elif _use_pallas():
+        from ..ops import pallas_decode
 
-    # pad per-tile streams into a lockstep matrix (bucket the width to limit
-    # recompilation across images)
-    word_counts = (lengths // 2).astype(np.int64)
-    wmax = int(word_counts.max()) if hdr.n_tiles else 2
-    wmax = -(-max(wmax, 2) // 512) * 512
-    flat = np.frombuffer(stream, dtype=np.uint16, offset=pos)
-    streams_np = rans.pad_streams(flat, word_counts, wmax)
-
-    tiles = _decode_tiles(
-        jnp.asarray(streams_np),
-        jnp.asarray(bias),
-        jnp.asarray(hist_n),
-        jnp.asarray(acc.astype(np.int32)),
-        jnp.asarray(lut.reshape(-1)),
-        hdr.tile_h,
-        hdr.tile_w,
-        hdr.near,
-    )
+        tiles = pallas_decode.decode_groups_pallas(
+            jnp.asarray(streams_np.astype(np.int32)),
+            jnp.asarray(p.n_active()),
+            jnp.asarray(p.bias)[None],
+            jnp.asarray(p.hist_n)[None],
+            jnp.asarray(p.acc)[None],
+            hdr.tile_h,
+            hdr.tile_w,
+            hdr.near,
+            p.group_size,
+        )
+        tiles = tiles.reshape(-1, hdr.tile_h, hdr.tile_w)[: hdr.n_tiles]
+    else:
+        tiles = _decode_groups(
+            jnp.asarray(streams_np.astype(np.int32)),
+            jnp.asarray(p.n_active()),
+            jnp.asarray(p.bias),
+            jnp.asarray(p.hist_n),
+            jnp.asarray(p.acc),
+            jnp.asarray(p.lut.reshape(-1)),
+            hdr.tile_h,
+            hdr.tile_w,
+            hdr.near,
+            p.group_size,
+        )
+        tiles = tiles.reshape(-1, hdr.tile_h, hdr.tile_w)[: hdr.n_tiles]
     return from_tiles(
         np.asarray(tiles, dtype=np.uint8), hdr.height, hdr.width, hdr.tile_h, hdr.tile_w
     )

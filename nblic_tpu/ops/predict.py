@@ -79,7 +79,11 @@ def simple_predict(n: Neighbors) -> jnp.ndarray:
 
     csum = csum - 7 * cmin
     csum = jnp.minimum(csum >> 3, 608 - 1)
-    wt = jnp.asarray(_PT_LUT)[csum]
+    # LUT-free threshold count (equivalent to the reference table,
+    # QNBLIC.c:82-91; gather-free so it runs inside Pallas kernels too)
+    wt = jnp.zeros_like(csum)
+    for cut in Q_PT_THRESH[:-1]:
+        wt = wt + (csum >= cut).astype(jnp.int32)
     return (8 * wt * px_ang + (8 - wt) * px_lnr + 64) >> 7
 
 
@@ -98,8 +102,12 @@ def activity(n: Neighbors, prev_err: jnp.ndarray) -> jnp.ndarray:
 
 
 def quantize_activity(delta: jnp.ndarray) -> jnp.ndarray:
-    """12-bin activity quantizer via LUT (QNBLIC.c:152-161)."""
-    return jnp.asarray(_QD_LUT)[jnp.minimum(delta, 152 - 1)]
+    """12-bin activity quantizer (QNBLIC.c:152-161), as a threshold count."""
+    v = jnp.minimum(delta, 152 - 1)
+    qd = jnp.zeros_like(v)
+    for cut in Q_QD_THRESH[:-1]:
+        qd = qd + (v >= cut).astype(jnp.int32)
+    return qd
 
 
 def context_address(n: Neighbors, px: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:

@@ -91,6 +91,66 @@ def pack_streams(words, emits, state):
     return flat.astype(jnp.uint16), lengths
 
 
+def interleave_pack(words, emits, state):
+    """Pack a lockstep fold into ONE interleaved stream (decode-read order).
+
+    Classic multi-stream rANS interleaving: the encoder (which runs the
+    symbols in reverse) lays renormalization words out so that the lockstep
+    decoder — processing all lanes simultaneously, lane-ascending within each
+    step — reads the stream strictly sequentially.  This removes every
+    per-lane stream pointer from the decoder: one scalar cursor serves all
+    lanes (the heart of the Pallas decode kernel, ops/pallas_decode.py).
+
+    Layout: head = S hi-words (lane ascending) then S lo-words (the split
+    keeps kernel-side reads contiguous); body: for decode step t ascending,
+    the words consumed at step t in lane-ascending order (= fold step
+    f = L-1-t).
+
+    Returns (flat int32 buffer sized S*(L+2) — only the first ``total``
+    entries meaningful — and ``total``, the stream word count, as a scalar).
+    """
+    s, l = words.shape
+    cap = s * (l + 2)
+    cnt = jnp.sum(emits, axis=0, dtype=jnp.int32)  # (L,) per fold step
+    # decode step t consumes fold step L-1-t: words of fold step f start
+    # after all fold steps f' > f
+    suffix = jnp.cumsum(cnt[::-1])[::-1] - cnt
+    block_start = 2 * s + suffix
+    rank = jnp.cumsum(emits, axis=0, dtype=jnp.int32) - emits  # lane-prefix
+    pos = block_start[None, :] + rank
+    idx = jnp.where(emits, pos, cap)
+    flat = jnp.zeros((cap,), jnp.int32)
+    flat = flat.at[idx.reshape(-1)].set(words.reshape(-1), mode="drop")
+    st = state.astype(jnp.int32)
+    lane = jnp.arange(s, dtype=jnp.int32)
+    flat = flat.at[lane].set((st >> ANS_BITS) & ANS_MASK)
+    flat = flat.at[s + lane].set(st & ANS_MASK)
+    total = 2 * s + jnp.sum(cnt)
+    return flat, total
+
+
+def interleaved_dec_init(stream, n_lanes: int):
+    """Lockstep decoder init from an interleaved stream (one shared cursor)."""
+    hi = stream[:n_lanes].astype(jnp.uint32)
+    lo = stream[n_lanes : 2 * n_lanes].astype(jnp.uint32)
+    return (hi << ANS_BITS) | lo, jnp.int32(2 * n_lanes)
+
+
+def interleaved_dec_renorm(state, sp, stream, active):
+    """Post-symbol renorm for all lanes against the shared cursor.
+
+    state: (G,) uint32; sp: scalar int32 cursor; active: (G,) bool lane mask.
+    Returns (state, sp).
+    """
+    need = (state < ANS_LOW_BOUND) & active
+    rank = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
+    idx = jnp.minimum(sp + rank, stream.shape[0] - 1)
+    word = stream[idx].astype(jnp.uint32)
+    state = jnp.where(need, (state << ANS_BITS) | word, state)
+    sp = sp + jnp.sum(need.astype(jnp.int32))
+    return state, sp
+
+
 def split_streams(flat: np.ndarray, lengths: np.ndarray) -> list[np.ndarray]:
     """Host-side split of a packed buffer into per-stream u16 arrays."""
     bounds = np.cumsum(lengths)[:-1]

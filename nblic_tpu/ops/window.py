@@ -19,16 +19,18 @@ from .predict import activity, context_address, quantize_activity, simple_predic
 def row_start_window(i, prev1, prev2, w: int):
     """Fresh window registers at (i, 0). prev1/prev2: previous two rows (w,)."""
     mid = jnp.int32(MID_VAL)
-    a = jnp.where(i > 0, prev1[0], mid)
+    # ``prev*`` may be a single row (w,) or a lane-stacked batch (..., w);
+    # trailing-axis indexing serves both (lockstep scans share (i, j))
+    a = jnp.where(i > 0, prev1[..., 0], mid)
     b = a
     e = a
     c = b
-    d = jnp.where(i > 0, prev1[1], b) if w > 1 else b
-    f = jnp.where(i > 1, prev2[0], b)
-    g = jnp.where(i > 1, prev2[1], f) if w > 1 else f
+    d = jnp.where(i > 0, prev1[..., 1], b) if w > 1 else b
+    f = jnp.where(i > 1, prev2[..., 0], b)
+    g = jnp.where(i > 1, prev2[..., 1], f) if w > 1 else f
     h = f
     q = c
-    r = jnp.where(i > 1, prev2[2], g) if w > 2 else g
+    r = jnp.where(i > 1, prev2[..., 2], g) if w > 2 else g
     s = h
     return (a, b, c, d, e, f, g, h, q, r, s)
 
@@ -38,9 +40,9 @@ def slide_window(regs, x, i, j, prev1, prev2, w: int):
     a, b, c, d, e, f, g, h, q, r, s = regs
     e2, a2, q2, c2, b2 = a, x, c, b, d
     s2, h2, f2, g2 = h, f, g, r
-    nxt1 = prev1[jnp.minimum(j + 2, w - 1)]
+    nxt1 = prev1[..., jnp.minimum(j + 2, w - 1)]
     d2 = jnp.where(i <= 0, a2, jnp.where(j + 2 >= w, d, nxt1))
-    nxt2 = prev2[jnp.minimum(j + 3, w - 1)]
+    nxt2 = prev2[..., jnp.minimum(j + 3, w - 1)]
     r2 = jnp.where(i <= 1, d2, jnp.where(j + 3 >= w, r, nxt2))
     return (a2, b2, c2, d2, e2, f2, g2, h2, q2, r2, s2)
 
