@@ -115,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
             if verbose:
                 print(f"  input image shape  = {w} x {h}")
             if opts["tiled"]:
-                kwargs = {}
+                kwargs = {"effort": opts["effort"]}
                 if opts["tile_h"]:
                     kwargs["tile_h"] = opts["tile_h"]
                 if opts["tile_w"]:

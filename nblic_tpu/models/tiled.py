@@ -203,7 +203,64 @@ def _encode_device_impl(tiles: jnp.ndarray):
     return _finish_encode_device(y, qd, bias)
 
 
+def _model_lossless2_impl(tiles: jnp.ndarray):
+    """Profile-2 modeling: per-tile MXU least-squares predictors (ops/lsq.py)
+    raced against the blend predictor, winner transmitted per tile."""
+    from ..ops import lsq
+    from ..ops.neighbors import sample
+    from ..ops.predict import (
+        activity, context_address, quantize_activity, shift_err,
+        simple_predict,
+    )
+
+    x = tiles.astype(jnp.int32)
+    n = jax.vmap(sample)(x)
+    px_s = simple_predict(n)
+    w_q, valid = lsq.fit_tile_weights(tiles)
+    px_l = lsq.predict_plane(n, w_q)
+    px_a = (px_s + px_l + 1) >> 1
+    # 3-way per-tile race: blend / learned / their average (flag 0/1/2).
+    # Scored with a Laplacian code-length proxy (2*log2(1+|err|) bits/px);
+    # the learned choices carry the ~24 B weight-transmission cost plus
+    # slack for the context-model shift they induce.
+    def bits(px):
+        e = jnp.abs(x - px).astype(jnp.float32)
+        return jnp.sum(2.0 * jnp.log2(1.0 + e), axis=(1, 2))
+
+    pen = jnp.float32(700.0)
+    big = jnp.float32(3e38)
+    cost_s = bits(px_s)
+    cost_l = jnp.where(valid, bits(px_l) + pen, big)
+    cost_a = jnp.where(valid, bits(px_a) + pen, big)
+    flag = jnp.argmin(jnp.stack([cost_s, cost_l, cost_a]), axis=0).astype(
+        jnp.int32
+    )
+    px0 = jnp.where(
+        (flag == 1)[:, None, None],
+        px_l,
+        jnp.where((flag == 2)[:, None, None], px_a, px_s),
+    )
+    err = x - px0
+    qd = quantize_activity(activity(n, shift_err(err)))
+    adr = context_address(n, px0, qd)
+    bias = ctx_ops.build_static_bias(adr, err, Q_N_CONTEXT)
+    px, sign = ctx_ops.apply_static_bias(bias, adr, px0)
+    y = ctx_ops.residual_fold(x, px, sign, 0)
+    w_out = jnp.where((flag > 0)[:, None], w_q, 0)
+    return y, qd, bias, w_out, flag
+
+
+def _encode_device2_impl(tiles: jnp.ndarray):
+    y, qd, bias, w_q, flags = _model_lossless2_impl(tiles)
+    packed = _finish_encode_device(y, qd, bias)
+    # append the weight planes + flags for host serialization
+    return jnp.concatenate(
+        [packed, w_q.reshape(-1), flags]
+    )
+
+
 _encode_device_batch = jax.jit(jax.vmap(_encode_device_impl))
+_encode_device2_batch = jax.jit(jax.vmap(_encode_device2_impl))
 _finish_encode_jit = jax.jit(_finish_encode_device)
 
 
@@ -310,14 +367,37 @@ def _tile_encode_scan(tile, bias, th: int, tw: int, near: int):
 
 
 def _group_decode_scan(stream, n_active, bias, hist_n, acc, lut_flat,
-                       th: int, tw: int, near: int, g: int):
-    """Lockstep decode of one interleaved group (profile 1): all ``g`` lanes
-    march in raster lockstep, renormalizing against ONE shared stream cursor
-    (ops/rans.py interleave layout).  Returns (g, th, tw) int32 tiles."""
+                       wcols, th: int, tw: int, near: int, g: int,
+                       profile: int):
+    """Lockstep decode of one interleaved group (profiles 1/2): all ``g``
+    lanes march in raster lockstep, renormalizing against ONE shared stream
+    cursor (ops/rans.py interleave layout).  Profile 2 adds per-tile
+    least-squares predictors (``wcols`` (16, g): 12 weight rows + flag row).
+    Returns (g, th, tw) int32 tiles."""
+    from ..ops import lsq
+    from ..ops.neighbors import Neighbors
+    from ..ops.predict import (
+        activity, context_address, quantize_activity, simple_predict,
+    )
+
     state, sp = rans.interleaved_dec_init(stream, g)
     active = jnp.arange(g, dtype=jnp.int32) < n_active
     hist_u = hist_n.astype(jnp.uint32)
     acc_u = acc.astype(jnp.uint32)
+
+    def model_pixel(regs, err):
+        nb = Neighbors(*regs)
+        px0 = simple_predict(nb)
+        if profile == 2:
+            px_l = lsq.predict_lanes(regs, wcols)[0]
+            flagv = wcols[lsq.N_FEAT]
+            px_a = (px0 + px_l + 1) >> 1
+            px0 = jnp.where(
+                flagv == 1, px_l, jnp.where(flagv == 2, px_a, px0)
+            )
+        qd = quantize_activity(activity(nb, err))
+        adr = context_address(nb, px0, qd)
+        return px0, qd, adr
 
     def row_body(carry, i):
         prev1, prev2, state, sp = carry  # rows: (g, tw)
@@ -325,7 +405,7 @@ def _group_decode_scan(stream, n_active, bias, hist_n, acc, lut_flat,
 
         def col_body(c, j):
             regs, err, row, state, sp = c
-            px0, qd, adr = pixel_model(regs, err)
+            px0, qd, adr = model_pixel(regs, err)
             px, sign = ctx_ops.apply_static_bias(bias, adr, px0)
             lb = (state & rans.NORM_MASK).astype(jnp.int32)
             y = lut_flat[qd * NORM_SUM + lb]
@@ -358,22 +438,29 @@ def _group_decode_scan(stream, n_active, bias, hist_n, acc, lut_flat,
     return jnp.transpose(rows, (1, 0, 2))  # (th, g, tw) -> (g, th, tw)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
-def _decode_groups(streams, n_active, bias, hist_n, acc, lut_flat,
-                   th: int, tw: int, near: int, g: int):
-    fn = functools.partial(_group_decode_scan, th=th, tw=tw, near=near, g=g)
-    return jax.vmap(fn, in_axes=(0, 0, None, None, None, None))(
-        streams, n_active, bias, hist_n, acc, lut_flat
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+def _decode_groups(streams, n_active, bias, hist_n, acc, lut_flat, wcols,
+                   th: int, tw: int, near: int, g: int, profile: int):
+    fn = functools.partial(
+        _group_decode_scan, th=th, tw=tw, near=near, g=g, profile=profile
+    )
+    return jax.vmap(fn, in_axes=(0, 0, None, None, None, None, 0))(
+        streams, n_active, bias, hist_n, acc, lut_flat, wcols
     )
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _decode_groups_batch(streams, n_active, bias, hist_n, acc, lut_flat,
-                         th: int, tw: int, near: int, g: int):
+                         wcols, th: int, tw: int, near: int, g: int,
+                         profile: int):
     """Batched over images: streams (B, n_groups, W), per-image tables."""
-    fn = functools.partial(_group_decode_scan, th=th, tw=tw, near=near, g=g)
-    per_image = jax.vmap(fn, in_axes=(0, 0, None, None, None, None))
-    return jax.vmap(per_image)(streams, n_active, bias, hist_n, acc, lut_flat)
+    fn = functools.partial(
+        _group_decode_scan, th=th, tw=tw, near=near, g=g, profile=profile
+    )
+    per_image = jax.vmap(fn, in_axes=(0, 0, None, None, None, None, 0))
+    return jax.vmap(per_image)(
+        streams, n_active, bias, hist_n, acc, lut_flat, wcols
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7))
@@ -439,10 +526,17 @@ def encode(
     near: int = 0,
     tile_h: int = DEFAULT_TILE[0],
     tile_w: int = DEFAULT_TILE[1],
+    effort: int = 1,
 ) -> bytes:
-    """Encode a gray-8 image into an NBTC container (device-parallel)."""
+    """Encode a gray-8 image into an NBTC container (device-parallel).
+
+    ``effort`` >= 2 selects profile 2: per-tile MXU least-squares predictors
+    (the TPU-native AVP redesign) raced against the blend predictor.
+    """
     if near == 0:
-        return encode_batch([img], near=0, tile_h=tile_h, tile_w=tile_w)[0]
+        return encode_batch(
+            [img], near=0, tile_h=tile_h, tile_w=tile_w, effort=effort
+        )[0]
 
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape
@@ -459,8 +553,9 @@ def encode(
     )[0]
 
 
-def _unpack_containers(packed, n_imgs, n_tiles, h, w, tile_h, tile_w, near):
-    """Split the fetched device buffer(s) into NBTC profile-1 containers."""
+def _unpack_containers(packed, n_imgs, n_tiles, h, w, tile_h, tile_w, near,
+                       profile: int = 1):
+    """Split the fetched device buffer(s) into NBTC containers."""
     l = tile_h * tile_w
     n_groups = -(-n_tiles // G_LANES)
     cap32 = G_LANES * (l + 2) // 2
@@ -485,6 +580,26 @@ def _unpack_containers(packed, n_imgs, n_tiles, h, w, tile_h, tile_w, near):
             pos += cap32
         payload = b"".join(chunks)
 
+        weights_bytes = b""
+        if profile == 2:
+            from ..ops import lsq as lsq_ops
+
+            w_q = packed[b, pos : pos + n_tiles * lsq_ops.N_FEAT].astype(
+                np.int16
+            ).reshape(n_tiles, lsq_ops.N_FEAT)
+            pos += n_tiles * lsq_ops.N_FEAT
+            flags = packed[b, pos : pos + n_tiles].astype(np.uint8)
+            pos += n_tiles
+            # weights only for tiles that use the learned predictor
+            raw = zlib.compress(
+                flags.tobytes() + w_q[flags > 0].tobytes(), 6
+            )
+            weights_bytes = (
+                np.asarray([len(raw)], np.uint32).tobytes()
+                + raw
+                + b"\x00" * (len(raw) & 1)
+            )
+
         bias_bytes = zlib.compress(bias_i16.tobytes(), 6)
         bias_bytes += b"\x00" * (len(bias_bytes) & 1)  # keep u16 aligned
         hist_bytes = _serialize_hists(hist_n)
@@ -492,7 +607,7 @@ def _unpack_containers(packed, n_imgs, n_tiles, h, w, tile_h, tile_w, near):
             [G_LANES, n_groups] + [2 * int(t) for t in totals], dtype=np.uint32
         ).tobytes()
         header = NbtcHeader(
-            profile=1,
+            profile=profile,
             near=near,
             height=h,
             width=w,
@@ -503,7 +618,8 @@ def _unpack_containers(packed, n_imgs, n_tiles, h, w, tile_h, tile_w, near):
             hist_len=len(hist_bytes),
         )
         out.append(
-            header.to_bytes() + bias_bytes + hist_bytes + meta + payload
+            header.to_bytes() + bias_bytes + weights_bytes + hist_bytes
+            + meta + payload
         )
     return out
 
@@ -513,6 +629,7 @@ def encode_batch(
     near: int = 0,
     tile_h: int = DEFAULT_TILE[0],
     tile_w: int = DEFAULT_TILE[1],
+    effort: int = 1,
 ) -> list[bytes]:
     """Encode a batch of same-shape images in one device program.
 
@@ -522,6 +639,7 @@ def encode_batch(
     """
     if near != 0:
         return [encode(im, near=near, tile_h=tile_h, tile_w=tile_w) for im in imgs]
+    profile = 2 if effort >= 2 else 1
     imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
     h, w = imgs[0].shape
     for im in imgs:
@@ -533,9 +651,12 @@ def encode_batch(
 
     # ONE device program + ONE fetch for the whole batch (the tunnel round
     # trip dominates everything else)
-    packed = np.asarray(_encode_device_batch(tiles))
+    if profile == 2:
+        packed = np.asarray(_encode_device2_batch(tiles))
+    else:
+        packed = np.asarray(_encode_device_batch(tiles))
     return _unpack_containers(
-        packed, len(imgs), n_tiles, h, w, tile_h, tile_w, 0
+        packed, len(imgs), n_tiles, h, w, tile_h, tile_w, 0, profile
     )
 
 
@@ -574,18 +695,23 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
         flat_streams = jnp.asarray(
             stream_mat.reshape(-1, stream_mat.shape[-1]).astype(np.int32)
         )
+        wcols = jnp.asarray(
+            np.concatenate([p.weight_cols() for p in parsed])
+        )
         tiles = pallas_decode.decode_groups_pallas(
-            flat_streams, n_active, biases, hist_ns, accs,
-            h0.tile_h, h0.tile_w, h0.near, parsed[0].group_size,
+            flat_streams, n_active, biases, hist_ns, accs, wcols,
+            h0.tile_h, h0.tile_w, h0.near, parsed[0].group_size, h0.profile,
         )
         tiles_np = np.asarray(tiles, dtype=np.uint8).reshape(
             b, -1, h0.tile_h, h0.tile_w
         )[:, : h0.n_tiles]
     else:
         n_active = jnp.asarray(np.stack([p.n_active() for p in parsed]))
+        wcols = jnp.asarray(np.stack([p.weight_cols() for p in parsed]))
         tiles = _decode_groups_batch(
             jnp.asarray(stream_mat), n_active, biases, hist_ns, accs, luts,
-            h0.tile_h, h0.tile_w, h0.near, parsed[0].group_size,
+            wcols, h0.tile_h, h0.tile_w, h0.near, parsed[0].group_size,
+            h0.profile,
         )
         tiles_np = np.asarray(tiles, dtype=np.uint8).reshape(
             b, -1, h0.tile_h, h0.tile_w
@@ -622,6 +748,22 @@ class _Parsed:
             zlib.decompress(stream[pos : pos + hdr.bias_len]), dtype=np.int16
         ).astype(np.int32)
         pos += hdr.bias_len
+        self.weights = None
+        self.flags = None
+        if hdr.profile == 2:
+            from ..ops import lsq as lsq_ops
+
+            (wlen,) = np.frombuffer(stream[pos : pos + 4], dtype=np.uint32)
+            pos += 4
+            raw = zlib.decompress(stream[pos : pos + int(wlen)])
+            pos += int(wlen) + (int(wlen) & 1)
+            t = hdr.n_tiles
+            self.flags = np.frombuffer(raw[:t], dtype=np.uint8)
+            dense = np.frombuffer(raw[t:], dtype=np.int16).reshape(
+                -1, lsq_ops.N_FEAT
+            )
+            self.weights = np.zeros((t, lsq_ops.N_FEAT), dtype=np.int16)
+            self.weights[self.flags > 0] = dense
         self.hist_n = _deserialize_hists(
             stream[pos : pos + hdr.hist_len]
         ).astype(np.int32)
@@ -639,7 +781,7 @@ class _Parsed:
             )
             pos += 4 * hdr.n_tiles
             self.counts = (lengths // 2).astype(np.int64)
-        elif hdr.profile == 1:
+        elif hdr.profile in (1, 2):
             g, n_groups = np.frombuffer(stream[pos : pos + 8], dtype=np.uint32)
             pos += 8
             self.group_size = int(g)
@@ -654,6 +796,22 @@ class _Parsed:
 
     def stream_matrix(self, wmax: int) -> np.ndarray:
         return rans.pad_streams(self.payload, self.counts, wmax)
+
+    def weight_cols(self) -> np.ndarray:
+        """Per-group (16, G) weight/flag columns for the lockstep decoders."""
+        from ..ops import lsq as lsq_ops
+
+        g = self.group_size
+        n_groups = len(self.counts)
+        t_pad = n_groups * g
+        wf = np.zeros((t_pad, 16), dtype=np.int32)
+        if self.weights is not None:
+            t = self.hdr.n_tiles
+            wf[:t, : lsq_ops.N_FEAT] = self.weights.astype(np.int32)
+            wf[:t, lsq_ops.N_FEAT] = self.flags.astype(np.int32)
+        return np.ascontiguousarray(
+            wf.reshape(n_groups, g, 16).transpose(0, 2, 1)
+        )
 
     def n_active(self) -> np.ndarray:
         """Per-group active-lane counts (profile 1)."""
@@ -696,10 +854,12 @@ def decode(stream: bytes) -> np.ndarray:
             jnp.asarray(p.bias)[None],
             jnp.asarray(p.hist_n)[None],
             jnp.asarray(p.acc)[None],
+            jnp.asarray(p.weight_cols()),
             hdr.tile_h,
             hdr.tile_w,
             hdr.near,
             p.group_size,
+            hdr.profile,
         )
         tiles = tiles.reshape(-1, hdr.tile_h, hdr.tile_w)[: hdr.n_tiles]
     else:
@@ -710,10 +870,12 @@ def decode(stream: bytes) -> np.ndarray:
             jnp.asarray(p.hist_n),
             jnp.asarray(p.acc),
             jnp.asarray(p.lut.reshape(-1)),
+            jnp.asarray(p.weight_cols()),
             hdr.tile_h,
             hdr.tile_w,
             hdr.near,
             p.group_size,
+            hdr.profile,
         )
         tiles = tiles.reshape(-1, hdr.tile_h, hdr.tile_w)[: hdr.n_tiles]
     return from_tiles(

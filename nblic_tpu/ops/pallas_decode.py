@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import MAX_VAL, MID_VAL
 from .context import BIAS_FRAC_BITS
+from .lsq import predict_lanes as lsq_predict
 from .neighbors import Neighbors
 from .predict import activity, context_address, quantize_activity, simple_predict
 
@@ -65,16 +66,17 @@ def _mm(a, b):
     )
 
 
-def _kernel(nact_ref, stream_ref, biasT_ref, histT_ref, accT_ref, tri_ref,
-            out_ref, state_ref, sp_ref, prev1_ref, prev2_ref, *, th: int,
-            tw: int, near: int, g: int):
+def _kernel(nact_ref, stream_ref, c16_ref, facc_ref, freq_ref, bias2_ref,
+            tri_ref, w_ref, out_ref, state_ref, sp_ref, prev1_ref, prev2_ref,
+            *, th: int, tw: int, near: int, g: int, profile: int):
     i = pl.program_id(1)
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
     iota12 = jax.lax.broadcasted_iota(jnp.int32, (N_QD, g), 0)
-    iota256 = jax.lax.broadcasted_iota(jnp.int32, (N_SYM, g), 0)
+    iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, g), 0)
+    iota192 = jax.lax.broadcasted_iota(jnp.int32, (192, g), 0)
     iota2g = jax.lax.broadcasted_iota(jnp.int32, (2 * g, g), 0)
     iotw = jax.lax.broadcasted_iota(jnp.int32, (tw, g), 0)
-    active = (lane_row < nact_ref[0, 0]).astype(jnp.int32)
+    active = (lane_row < nact_ref[pl.program_id(0)]).astype(jnp.int32)
 
     @pl.when(i == 0)
     def _init():
@@ -99,30 +101,50 @@ def _kernel(nact_ref, stream_ref, biasT_ref, histT_ref, accT_ref, tri_ref,
     def decode_pixel(j, regs, err, state, sp, row):
         nb = Neighbors(*regs)  # (1, g) planes
         px0 = simple_predict(nb)
+        if profile == 2:
+            # per-tile least-squares predictor (ops/lsq.py), flag row 12:
+            # 0 = blend, 1 = learned, 2 = average of the two
+            px_l = lsq_predict(regs, w_ref[0])
+            flagv = w_ref[0][12:13, :]
+            px_a = (px0 + px_l + 1) >> 1
+            px0 = jnp.where(
+                flagv == 1, px_l, jnp.where(flagv == 2, px_a, px0)
+            )
         qd = quantize_activity(activity(nb, err))
         adr = context_address(nb, px0, qd)
         tex = adr & 0xFF
 
+        # two-level (16x16) table reads: an MXU matmul selects the
+        # (qd, coarse) row, a 16-row masked reduction picks the column —
+        # 16x cheaper than 256-row reductions
         oh_qd = (iota12 == qd).astype(jnp.float32)  # (12, g)
-        oh_tex = (iota256 == tex).astype(jnp.float32)  # (256, g)
-        brows = _mm(biasT_ref[0], oh_qd)  # (256,12)@(12,g) -> (256, g)
-        bval = jnp.sum(brows * oh_tex, axis=0, keepdims=True).astype(jnp.int32)
+        oh_qt = (iota192 == (qd * 16 + (tex >> 4))).astype(jnp.float32)
+        brow = _mm(bias2_ref[0], oh_qt)  # (16,192)@(192,g) -> (16, g)
+        oh_lo4 = (iota16 == (tex & 15)).astype(jnp.float32)
+        bval = jnp.sum(brow * oh_lo4, axis=0, keepdims=True).astype(jnp.int32)
         sign = (bval >> (BIAS_FRAC_BITS - 1)) & 1
         px = jnp.clip(px0 + (bval >> BIAS_FRAC_BITS) + sign, 0, MAX_VAL)
 
-        # symbol search: y = #{v : acc[qd, v] <= lb} - 1
+        # symbol search: coarse bucket from the 16-boundary table, fine
+        # offset within it (y = #{v : acc[qd, v] <= lb} - 1)
         lb = (state & NORM_MASK).astype(jnp.int32)
-        arows = _mm(accT_ref[0], oh_qd)  # (256, g)
-        y = jnp.sum(
-            (arows <= lb.astype(jnp.float32)).astype(jnp.int32),
-            axis=0, keepdims=True,
+        lbf = lb.astype(jnp.float32)
+        crow = _mm(c16_ref[0], oh_qd)  # (16,12)@(12,g) -> (16, g)
+        gidx = jnp.sum(
+            (crow <= lbf).astype(jnp.int32), axis=0, keepdims=True
         ) - 1
-        oh_y = (iota256 == y).astype(jnp.float32)
-        hrows = _mm(histT_ref[0], oh_qd)
-        freq = jnp.sum(hrows * oh_y, axis=0, keepdims=True).astype(
+        oh_qg = (iota192 == (qd * 16 + gidx)).astype(jnp.float32)
+        frow = _mm(facc_ref[0], oh_qg)  # acc fine rows (16, g)
+        ylo = jnp.sum(
+            (frow <= lbf).astype(jnp.int32), axis=0, keepdims=True
+        ) - 1
+        y = gidx * 16 + ylo
+        oh_ylo = (iota16 == ylo).astype(jnp.float32)
+        accv = jnp.sum(frow * oh_ylo, axis=0, keepdims=True).astype(
             jnp.int32
         ).astype(jnp.uint32)
-        accv = jnp.sum(arows * oh_y, axis=0, keepdims=True).astype(
+        hrow = _mm(freq_ref[0], oh_qg)
+        freq = jnp.sum(hrow * oh_ylo, axis=0, keepdims=True).astype(
             jnp.int32
         ).astype(jnp.uint32)
         state = (state >> NORM_BITS) * freq + lb.astype(jnp.uint32) - accv
@@ -197,14 +219,15 @@ def _kernel(nact_ref, stream_ref, biasT_ref, histT_ref, accT_ref, tri_ref,
     prev1_ref[...] = row
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
-def decode_groups_pallas(streams, n_active, bias, hist_n, acc,
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+def decode_groups_pallas(streams, n_active, bias, hist_n, acc, wcols,
                          th: int, tw: int, near: int, g: int,
-                         interpret: bool = False):
+                         profile: int = 1, interpret: bool = False):
     """Decode (G_total, Wmax) interleaved streams -> (G_total, g, th, tw).
 
     bias: (B, 3072) int32 fixed-point tables; hist_n/acc: (B, 12, 256) int32
     — one table set per image, where G_total = B * groups_per_image.
+    wcols: (G_total, 16, g) int32 per-tile predictor weights (profile 2).
     """
     n_groups, wmax = streams.shape
     b = bias.shape[0]
@@ -212,49 +235,62 @@ def decode_groups_pallas(streams, n_active, bias, hist_n, acc,
     # pad so the aligned 2g-wide window load never runs off the end
     streams = jnp.pad(streams.astype(jnp.int32), ((0, 0), (0, 2 * g + 128)))
     wmax = streams.shape[1]
-    bias_t = jnp.swapaxes(
-        bias.reshape(b, N_QD, N_SYM).astype(jnp.float32), 1, 2
-    )  # (B, 256, 12)
-    hist_t = jnp.swapaxes(hist_n.astype(jnp.float32), 1, 2)
-    acc_t = jnp.swapaxes(acc.astype(jnp.float32), 1, 2)
+    # two-level table layouts (kernel docstring): coarse boundaries (16, 12)
+    # and fine 16-column rows (16, 192) keyed by qd*16 + coarse index
+    acc_f = acc.reshape(b, N_QD, 16, 16).astype(jnp.float32)
+    c16_t = jnp.swapaxes(acc_f[:, :, :, 0], 1, 2)  # (B, 16, 12)
+    facc_t = jnp.swapaxes(acc_f.reshape(b, 192, 16), 1, 2)  # (B, 16, 192)
+    freq_t = jnp.swapaxes(
+        hist_n.reshape(b, 192, 16).astype(jnp.float32), 1, 2
+    )
+    bias2_t = jnp.swapaxes(
+        bias.reshape(b, 192, 16).astype(jnp.float32), 1, 2
+    )
     tri = (
         jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
         < jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
     ).astype(jnp.float32)
 
-    kernel = functools.partial(_kernel, th=th, tw=tw, near=near, g=g)
+    kernel = functools.partial(_kernel, th=th, tw=tw, near=near, g=g,
+                               profile=profile)
 
-    def tab_spec():
+    def tab_spec(rows, cols):
         return pl.BlockSpec(
-            (1, N_SYM, N_QD), lambda gi, i: (gi // npg, 0, 0),
+            (1, rows, cols), lambda gi, i, *_: (gi // npg, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_groups, th),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda gi, i: (gi, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, wmax), lambda gi, i: (gi, 0),
+            pl.BlockSpec((1, wmax), lambda gi, i, *_: (gi, 0),
                          memory_space=pltpu.VMEM),
-            tab_spec(),
-            tab_spec(),
-            tab_spec(),
-            pl.BlockSpec((g, g), lambda gi, i: (0, 0),
+            tab_spec(16, N_QD),
+            tab_spec(16, 192),
+            tab_spec(16, 192),
+            tab_spec(16, 192),
+            pl.BlockSpec((g, g), lambda gi, i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, g), lambda gi, i, *_: (gi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, tw, g), lambda gi, i: (gi, i, 0, 0),
+            (1, 1, tw, g), lambda gi, i, *_: (gi, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_groups, th, tw, g), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((1, g), jnp.uint32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((tw, g), jnp.int32),
             pltpu.VMEM((tw, g), jnp.int32),
         ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups, th, tw, g), jnp.int32),
         interpret=interpret,
-    )(n_active.astype(jnp.int32).reshape(-1, 1), streams, bias_t, hist_t, acc_t, tri)
+    )(n_active.astype(jnp.int32), streams, c16_t, facc_t, freq_t, bias2_t,
+      tri, wcols.astype(jnp.int32))
     return jnp.transpose(out, (0, 3, 1, 2))  # -> (n_groups, g, th, tw)

@@ -13,7 +13,7 @@ def _pallas_decode(stream: bytes) -> np.ndarray:
 
     p = tiled._Parsed(stream)
     hdr = p.hdr
-    assert hdr.profile == 1
+    assert hdr.profile in (1, 2)
     wmax = tiled._bucket(int(p.counts.max()))
     tiles = pallas_decode.decode_groups_pallas(
         jnp.asarray(p.stream_matrix(wmax).astype(np.int32)),
@@ -21,10 +21,12 @@ def _pallas_decode(stream: bytes) -> np.ndarray:
         jnp.asarray(p.bias)[None],
         jnp.asarray(p.hist_n)[None],
         jnp.asarray(p.acc)[None],
+        jnp.asarray(p.weight_cols()),
         hdr.tile_h,
         hdr.tile_w,
         hdr.near,
         p.group_size,
+        hdr.profile,
         True,  # interpret
     )
     tiles = np.asarray(tiles, dtype=np.uint8).reshape(
@@ -47,6 +49,12 @@ class TestPallasDecode:
         dec = _pallas_decode(stream)
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= near
         np.testing.assert_array_equal(dec, tiled.decode(stream))
+
+    def test_profile2(self, rng):
+        yy, xx = np.mgrid[0:64, 0:128]
+        smooth = ((yy + xx) % 250).astype(np.uint8)
+        stream = tiled.encode(smooth, effort=2)
+        np.testing.assert_array_equal(_pallas_decode(stream), smooth)
 
     def test_multi_group(self, rng):
         # force >1 interleave group (> 128 tiles of 8x8)

@@ -39,6 +39,28 @@ class TestLossless:
         np.testing.assert_array_equal(dec, kodak01)
 
 
+class TestProfile2:
+    def test_roundtrip(self, test_images):
+        for img in test_images[3:7]:
+            stream = tiled.encode(img, tile_h=16, tile_w=16, effort=2)
+            assert tiled._Parsed(stream).hdr.profile == 2
+            np.testing.assert_array_equal(tiled.decode(stream), img)
+
+    def test_learned_predictor_wins_on_smooth(self):
+        yy, xx = np.mgrid[0:128, 0:128]
+        smooth = ((2 * yy + xx) % 251).astype(np.uint8)
+        stream = tiled.encode(smooth, effort=2)
+        p = tiled._Parsed(stream)
+        assert (p.flags > 0).any()  # at least one tile chose the learned fit
+        np.testing.assert_array_equal(tiled.decode(stream), smooth)
+
+    def test_kodak_not_worse(self, kodak01):
+        s1 = tiled.encode(kodak01, effort=1)
+        s2 = tiled.encode(kodak01, effort=2)
+        assert len(s2) <= 1.01 * len(s1)
+        np.testing.assert_array_equal(tiled.decode(s2), kodak01)
+
+
 class TestNearLossless:
     @pytest.mark.parametrize("near", [1, 3])
     def test_bounded_error(self, test_images, near):
