@@ -76,10 +76,10 @@ def main() -> int:
     )
     streams = [s for group in all_streams for s in group]
 
-    # device-compute-only encode throughput (tiles resident, result fetched
-    # next round) — isolates chip speed from the host<->device tunnel, which
-    # caps the end-to-end numbers in this environment (~40-80 MB/s link)
-    import jax
+    # device-compute-only encode throughput (tiles resident; execution is
+    # forced by fetching one scalar of the result — block_until_ready is a
+    # no-op under the axon tunnel). Isolates chip speed from the ~40-80 MB/s
+    # host<->device link that caps the end-to-end numbers here.
     import jax.numpy as jnp
 
     dev_ts = []
@@ -87,10 +87,10 @@ def main() -> int:
         tiles = jnp.asarray(
             np.stack([tiled.to_tiles(im, *tiled.DEFAULT_TILE) for im in batch])
         )
-        jax.block_until_ready(tiled._encode_device_batch(tiles))
+        np.asarray(tiled._encode_device_batch(tiles)[0, 0])  # warm
         t0 = time.perf_counter()
         for _ in range(reps):
-            jax.block_until_ready(tiled._encode_device_batch(tiles))
+            np.asarray(tiled._encode_device_batch(tiles)[0, 0])
         dev_ts.append((time.perf_counter() - t0) / reps)
     dev_enc_mpix = n_px / sum(dev_ts) / 1e6
     total_bytes = sum(len(s) for s in streams)

@@ -235,6 +235,7 @@ def decode_groups_pallas(streams, n_active, bias, hist_n, acc, wcols,
     # pad so the aligned 2g-wide window load never runs off the end
     streams = jnp.pad(streams.astype(jnp.int32), ((0, 0), (0, 2 * g + 128)))
     wmax = streams.shape[1]
+    streams3 = streams[:, None, :]  # (n_groups, 1, wmax): Mosaic-tileable block
     # two-level table layouts (kernel docstring): coarse boundaries (16, 12)
     # and fine 16-column rows (16, 192) keyed by qd*16 + coarse index
     acc_f = acc.reshape(b, N_QD, 16, 16).astype(jnp.float32)
@@ -264,7 +265,7 @@ def decode_groups_pallas(streams, n_active, bias, hist_n, acc, wcols,
         num_scalar_prefetch=1,
         grid=(n_groups, th),
         in_specs=[
-            pl.BlockSpec((1, wmax), lambda gi, i, *_: (gi, 0),
+            pl.BlockSpec((None, 1, wmax), lambda gi, i, *_: (gi, 0, 0),
                          memory_space=pltpu.VMEM),
             tab_spec(16, N_QD),
             tab_spec(16, 192),
@@ -291,6 +292,6 @@ def decode_groups_pallas(streams, n_active, bias, hist_n, acc, wcols,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_groups, th, tw, g), jnp.int32),
         interpret=interpret,
-    )(n_active.astype(jnp.int32), streams, c16_t, facc_t, freq_t, bias2_t,
+    )(n_active.astype(jnp.int32), streams3, c16_t, facc_t, freq_t, bias2_t,
       tri, wcols.astype(jnp.int32))
     return jnp.transpose(out, (0, 3, 1, 2))  # -> (n_groups, g, th, tw)

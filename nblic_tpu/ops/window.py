@@ -83,3 +83,9 @@ def fresh_window_rows(i, j, cur, prev1, prev2, w: int) -> Neighbors:
     r = at(prev2, j + 2, (i >= 2) & (j + 2 < w), g)
     s = at(prev2, j - 2, (i >= 2) & (j >= 2), h)
     return Neighbors(a, b, c, d, e, f, g, h, q, r, s)
+
+
+def fresh_t_tap(i, j, prev1, w: int, d):
+    """The 13th tap t = (i-1, j+2), default d (NBLIC.c:303; AVP only)."""
+    ok = (i >= 1) & (j + 2 < w)
+    return jnp.where(ok, prev1[..., jnp.clip(j + 2, 0, w - 1)], d)

@@ -51,6 +51,12 @@ class TestNblicJaxE1:
             ref_dec, _, _ = runtime.n_decode(stream)
             np.testing.assert_array_equal(nblic_jax.decode(stream), ref_dec)
 
-    def test_effort23_rejected(self, test_images):
-        with pytest.raises(NotImplementedError):
-            nblic_jax.encode(test_images[3], effort=2)
+    @pytest.mark.parametrize("effort,near", [(2, 0), (3, 0), (2, 2)])
+    def test_avp_efforts_bit_exact(self, test_images, effort, near):
+        # efforts 2-3 run the int64 AVP under x64 (ops/avp.py)
+        for img in test_images[3:5]:
+            mine = nblic_jax.encode(img, near=near, effort=effort)
+            ref = runtime.n_encode(img, near=near, effort=effort)
+            assert mine == ref, f"shape {img.shape} e{effort} n{near}"
+            ref_dec, _, _ = runtime.n_decode(ref)
+            np.testing.assert_array_equal(nblic_jax.decode(ref), ref_dec)
