@@ -76,41 +76,114 @@ def main() -> int:
     )
     streams = [s for group in all_streams for s in group]
 
-    # device-compute-only encode throughput (tiles resident; execution is
-    # forced by fetching one scalar of the result — block_until_ready is a
-    # no-op under the axon tunnel). Isolates chip speed from the ~40-80 MB/s
-    # host<->device link that caps the end-to-end numbers here.
+    # device-compute-only encode throughput. The tunnel costs ~250 ms per
+    # program execution and block_until_ready is a no-op, so the only honest
+    # device measurement is marginal: run the encode N times INSIDE one
+    # program (with a carried data dependence so XLA can't hoist it) and
+    # divide the time difference by the extra iterations.
+    import functools
+
+    import jax
     import jax.numpy as jnp
 
-    dev_ts = []
+    @functools.partial(jax.jit, static_argnums=1)
+    def enc_loop(tiles, n):
+        def body(_, acc):
+            t = (tiles + (acc & 1).astype(jnp.uint8)).astype(jnp.uint8)
+            out = jax.vmap(tiled._encode_device_impl)(t)
+            return out[0, :1]
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.int32))
+
+    n_lo, n_hi = 1, 9
+    dev_t = 0.0
+    px_dev = 0
     for batch in batches:
         tiles = jnp.asarray(
             np.stack([tiled.to_tiles(im, *tiled.DEFAULT_TILE) for im in batch])
         )
-        np.asarray(tiled._encode_device_batch(tiles)[0, 0])  # warm
+        np.asarray(enc_loop(tiles, n_lo))
+        np.asarray(enc_loop(tiles, n_hi))  # warm both variants
         t0 = time.perf_counter()
-        for _ in range(reps):
-            np.asarray(tiled._encode_device_batch(tiles)[0, 0])
-        dev_ts.append((time.perf_counter() - t0) / reps)
-    dev_enc_mpix = n_px / sum(dev_ts) / 1e6
+        np.asarray(enc_loop(tiles, n_lo))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(enc_loop(tiles, n_hi))
+        t_hi = time.perf_counter() - t0
+        dev_t += max(t_hi - t_lo, 1e-9)
+        px_dev += (n_hi - n_lo) * sum(im.size for im in batch)
+    dev_enc_mpix = px_dev / dev_t / 1e6
+
+    # device-compute decode throughput via the Mosaic kernel, same marginal
+    # method (the xor keeps a carried data dependence; decode of perturbed
+    # words is still fixed-trip and the kernel clamps its window loads)
+    from nblic_tpu.ops import pallas_decode
+
+    @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+    def dec_loop(streams, n_active, bias, hist_n, acc, wcols, th, tw, near,
+                 g, n):
+        def body(_, carry):
+            s = streams ^ (carry[0] & 1)
+            out = pallas_decode.decode_groups_pallas(
+                s, n_active, bias, hist_n, acc, wcols, th, tw, near, g, 1
+            )
+            return out.reshape(-1)[:1].astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.int32))
+
+    dev_t = 0.0
+    px_dev = 0
+    for group_streams, batch in zip(all_streams, batches):
+        p = tiled._Parsed(group_streams[0])
+        parsed = [tiled._Parsed(s) for s in group_streams]
+        wmax = tiled._bucket(max(int(q.counts.max()) for q in parsed))
+        sm = jnp.asarray(
+            np.concatenate([q.stream_matrix(wmax) for q in parsed]).astype(
+                np.int32
+            )
+        )
+        na = jnp.asarray(np.concatenate([q.n_active() for q in parsed]))
+        bias = jnp.asarray(np.stack([q.bias for q in parsed]))
+        hn = jnp.asarray(np.stack([q.hist_n for q in parsed]))
+        ac = jnp.asarray(np.stack([q.acc for q in parsed]))
+        wc = jnp.asarray(np.concatenate([q.weight_cols() for q in parsed]))
+        args = (sm, na, bias, hn, ac, wc, p.hdr.tile_h, p.hdr.tile_w,
+                p.hdr.near, p.group_size)
+        np.asarray(dec_loop(*args, n_lo))
+        np.asarray(dec_loop(*args, n_hi))
+        t0 = time.perf_counter()
+        np.asarray(dec_loop(*args, n_lo))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(dec_loop(*args, n_hi))
+        t_hi = time.perf_counter() - t0
+        dev_t += max(t_hi - t_lo, 1e-9)
+        px_dev += (n_hi - n_lo) * sum(im.size for im in batch)
+    dev_dec_mpix = px_dev / dev_t / 1e6
     total_bytes = sum(len(s) for s in streams)
     bpp = 8.0 * total_bytes / n_px
     enc_mpix = n_px / t_enc / 1e6
     dec_mpix = n_px / t_dec / 1e6
 
     result = {
-        "metric": "nbtc_kodak24_encode_throughput",
-        "value": round(enc_mpix, 2),
+        "metric": "nbtc_kodak24_device_encode_throughput",
+        "value": round(dev_enc_mpix, 2),
         "unit": "MPix/s/chip",
-        "vs_baseline": round(enc_mpix / BASELINE_E1_ENC_MPIX_S, 2),
-        "decode_mpix_s": round(dec_mpix, 2),
-        "device_encode_mpix_s": round(dev_enc_mpix, 2),
+        "vs_baseline": round(dev_enc_mpix / BASELINE_E1_ENC_MPIX_S, 2),
+        "device_decode_mpix_s": round(dev_dec_mpix, 2),
+        "e2e_encode_mpix_s": round(enc_mpix, 2),
+        "e2e_decode_mpix_s": round(dec_mpix, 2),
         "bpp": round(bpp, 4),
         "ref_bpp": REF_BPP,
         "lossless_roundtrip_ok": bool(ok),
         "n_images": len(imgs),
         "encode_s": round(t_enc, 3),
         "decode_s": round(t_dec, 3),
+        "note": (
+            "device_* are marginal per-chip compute times (N encodes inside "
+            "one program); e2e_* include the axon tunnel's ~250 ms/program "
+            "and ~40-80 MB/s host link, which dominate at Kodak sizes"
+        ),
     }
     print(json.dumps(result))
     return 0 if ok else 1

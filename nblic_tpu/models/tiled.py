@@ -84,11 +84,9 @@ def _model_lossless_impl(tiles: jnp.ndarray):
     bias = ctx_ops.build_static_bias(adr, err, Q_N_CONTEXT)
     px, sign = ctx_ops.apply_static_bias(bias, adr, px0)
     y = ctx_ops.residual_fold(x, px, sign, 0)
-    hist = (
-        jnp.zeros((N_QD, N_SYM), jnp.int32)
-        .at[qd.reshape(-1), y.reshape(-1)]
-        .add(1)
-    )
+    hist = ctx_ops.pair_segment_sum(
+        qd.reshape(-1) * N_SYM + y.reshape(-1), None, N_QD * N_SYM
+    ).reshape(N_QD, N_SYM)
     return y, qd, bias, hist
 
 
@@ -162,11 +160,9 @@ def _finish_encode_device(y, qd, bias):
     device<->host link is the scarce resource under the TPU tunnel.
     """
     t = y.shape[0]
-    hist = (
-        jnp.zeros((N_QD, N_SYM), jnp.int32)
-        .at[qd.reshape(-1), y.reshape(-1)]
-        .add(1)
-    )
+    hist = ctx_ops.pair_segment_sum(
+        qd.reshape(-1) * N_SYM + y.reshape(-1), None, N_QD * N_SYM
+    ).reshape(N_QD, N_SYM)
     hist_n = jax.vmap(_norm_hist_dev)(hist)
     acc = jnp.cumsum(hist_n.reshape(-1)).reshape(N_QD, N_SYM) - hist_n
     acc = acc - (jnp.arange(N_QD, dtype=jnp.int32) * NORM_SUM)[:, None]
@@ -486,11 +482,9 @@ def _model_near(tiles, bias, th: int, tw: int, near: int):
     x = tiles.astype(jnp.int32)
     fn = functools.partial(_tile_encode_scan, th=th, tw=tw, near=near)
     y, qd = jax.vmap(fn, in_axes=(0, None))(x, bias)
-    hist = (
-        jnp.zeros((N_QD, N_SYM), jnp.int32)
-        .at[qd.reshape(-1), y.reshape(-1)]
-        .add(1)
-    )
+    hist = ctx_ops.pair_segment_sum(
+        qd.reshape(-1) * N_SYM + y.reshape(-1), None, N_QD * N_SYM
+    ).reshape(N_QD, N_SYM)
     return y, qd, hist
 
 

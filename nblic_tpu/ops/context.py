@@ -20,6 +20,7 @@ QNBLIC.c:191-217 is the near=0 special case).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import MAX_VAL, MID_VAL
@@ -33,16 +34,51 @@ BIAS_FRAC_BITS = 4
 # ---------------------------------------------------------------------------
 
 
+def pair_segment_sum(idx: jnp.ndarray, weights, n_bins: int,
+                     chunk: int = 65536) -> jnp.ndarray:
+    """Exact integer segment-sum as a pair-decomposed one-hot matmul.
+
+    XLA's scatter-add runs element-at-a-time on TPU (~25 ns/elem — it was
+    the whole-encode bottleneck); decomposing the bin index as hi*64+lo
+    turns the reduction into ``onehot_hi^T @ onehot_lo`` on the MXU.  Work
+    is chunked so every f32 partial sum stays within the exactly-
+    representable integer range (weights are bounded by +-2^8).
+
+    idx: int32 (...,) in [0, n_bins); weights: None (=count) or int32 like
+    idx.  Returns int32 (n_bins,).
+    """
+    n_lo = 64
+    n_hi = -(-n_bins // n_lo)
+    flat = idx.reshape(-1)
+    p = flat.shape[0]
+    pad = (-p) % chunk
+    flat = jnp.pad(flat, (0, pad))
+    if weights is None:
+        w = jnp.pad(jnp.ones((p,), jnp.int32), (0, pad))
+    else:
+        w = jnp.pad(weights.reshape(-1), (0, pad))
+    nc = flat.shape[0] // chunk
+    flat = flat.reshape(nc, chunk)
+    w = w.reshape(nc, chunk).astype(jnp.float32)
+    hi = flat // n_lo
+    lo = flat % n_lo
+    oh_hi = jax.nn.one_hot(hi, n_hi, dtype=jnp.float32)
+    oh_lo = jax.nn.one_hot(lo, n_lo, dtype=jnp.float32) * w[..., None]
+    part = jnp.einsum(
+        "cph,cpl->chl", oh_hi, oh_lo,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)
+    return part.sum(axis=0).reshape(n_hi * n_lo)[:n_bins]
+
+
 def bias_moments(adr: jnp.ndarray, err: jnp.ndarray, n_ctx: int):
     """Per-context (sum, count) of prediction errors via parallel segment-sum.
 
     Separated from quantization so multi-device encoders can ``psum`` the
     moments across mesh shards before quantizing (parallel/mesh.py).
     """
-    flat_adr = adr.reshape(-1)
-    flat_err = err.reshape(-1)
-    sums = jnp.zeros((n_ctx,), jnp.int32).at[flat_adr].add(flat_err)
-    cnts = jnp.zeros((n_ctx,), jnp.int32).at[flat_adr].add(1)
+    sums = pair_segment_sum(adr, err, n_ctx)
+    cnts = pair_segment_sum(adr, None, n_ctx)
     return sums, cnts
 
 

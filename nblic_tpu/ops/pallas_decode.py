@@ -154,7 +154,12 @@ def _kernel(nact_ref, stream_ref, c16_ref, facc_ref, freq_ref, bias2_ref,
         need = ((state < ANS_LOW_BOUND).astype(jnp.int32)) * active
         needf = need.astype(jnp.float32)
         rank = _mm(needf, tri_ref[...]).astype(jnp.int32)  # (1,g)@(g,g)
-        base = pl.multiple_of((sp >> 7) << 7, 128)
+        # clamp so corrupt/truncated streams can't drive the window load out
+        # of bounds (the wrapper pads wmax by 2g+128)
+        wmax = stream_ref.shape[-1]
+        base = pl.multiple_of(
+            jnp.minimum((sp >> 7) << 7, ((wmax - 2 * g) >> 7) << 7), 128
+        )
         window = stream_ref[:, pl.ds(base, 2 * g)].astype(jnp.float32)
         tgt = (sp - base) + rank
         sel = (iota2g == tgt).astype(jnp.float32) * needf  # (2g, g)
@@ -294,4 +299,5 @@ def decode_groups_pallas(streams, n_active, bias, hist_n, acc, wcols,
         interpret=interpret,
     )(n_active.astype(jnp.int32), streams3, c16_t, facc_t, freq_t, bias2_t,
       tri, wcols.astype(jnp.int32))
-    return jnp.transpose(out, (0, 3, 1, 2))  # -> (n_groups, g, th, tw)
+    # uint8 on device: the host link is ~40-80 MB/s, don't ship int32
+    return jnp.transpose(out, (0, 3, 1, 2)).astype(jnp.uint8)

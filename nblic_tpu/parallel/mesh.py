@@ -56,11 +56,9 @@ def _encode_step_local(tiles, axis: str):
     bias = ctx_ops.quantize_bias(sums, cnts)
     px, sign = ctx_ops.apply_static_bias(bias, adr, px0)
     y = ctx_ops.residual_fold(x, px, sign, 0)
-    hist = (
-        jnp.zeros((N_QD, N_SYM), jnp.int32)
-        .at[qd.reshape(-1), y.reshape(-1)]
-        .add(1)
-    )
+    hist = ctx_ops.pair_segment_sum(
+        qd.reshape(-1) * N_SYM + y.reshape(-1), None, N_QD * N_SYM
+    ).reshape(N_QD, N_SYM)
     hist = jax.lax.psum(hist, axis)
     return y, qd, bias, hist
 
