@@ -139,11 +139,10 @@ def code_symbol(st: CoderState, tree, k_step: int, qu, qv, qw, z_in, decode: boo
     qv = jnp.where(qv // k_step != qu // k_step, qu, qv)
 
     def unary_cond(c):
-        st, tree, i, qu, qv, stop = c[0], c[1], c[2], c[3], c[4], c[5]
-        return ~stop
+        return ~c[5]
 
     def unary_body(c):
-        st, tree, i, qu, qv, stop, k = c
+        st, tree, i, qu, qv, stop, k, guard = c
         k = qu // k_step
         if decode:
             bin_in = jnp.int32(0)
@@ -157,10 +156,15 @@ def code_symbol(st: CoderState, tree, k_step: int, qu, qv, qw, z_in, decode: boo
         qn = jnp.minimum((k + 1) * k_step, N_QD - 1)
         qu = jnp.where(esc, qn, qu)
         qv = jnp.where(esc, qn, qv)
-        return (st, tree, i2, qu, qv, stop, k)
+        # corrupt streams can feed continuation bins forever; bound the walk
+        stop = stop | (guard > 4096)
+        return (st, tree, i2, qu, qv, stop, k, guard + 1)
 
-    init = (st, tree, jnp.int32(0), qu, qv, jnp.asarray(False), jnp.int32(0))
-    st, tree, i, qu, qv, _, k = jax.lax.while_loop(unary_cond, unary_body, init)
+    init = (st, tree, jnp.int32(0), qu, qv, jnp.asarray(False), jnp.int32(0),
+            jnp.int32(0))
+    st, tree, i, qu, qv, _, k, _ = jax.lax.while_loop(
+        unary_cond, unary_body, init
+    )
     k = qu // k_step  # k of the final unary bin
 
     z = ((i >> k_max) << k) if decode else z_in

@@ -289,6 +289,7 @@ static int code_symbol(RangeCoder<kDecode>& rc, int k_step,
   if (qv / k_step != qu / k_step) qv = qu;
 
   int i = 0, k = 0, bin;
+  int guard = 0;
   for (;;) {
     k = qu / k_step;
     bin = kDecode ? 0 : ((i >> k_max) < (z >> k) ? 1 : 0);
@@ -297,8 +298,13 @@ static int code_symbol(RangeCoder<kDecode>& rc, int k_step,
     i += 1 << k_max;
     if (i >= 256) {
       i >>= 1;
+      // valid streams never escalate past the top band (z <= 255 bounds the
+      // walk); clamp + guard so CORRUPT streams can't index out of the tree
+      // or spin forever (the reference has UB here, SURVEY.md §5)
       qu = qv = (k + 1) * k_step;
+      if (qu > kNQd - 1) qu = qv = kNQd - 1;
     }
+    if (++guard > 4096) break;
   }
   if (kDecode) z = (i >> k_max) << k;
 

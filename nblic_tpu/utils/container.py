@@ -63,6 +63,8 @@ class NblicHeader:
     def from_bytes(cls, data: bytes) -> "NblicHeader":
         if data[: len(NBLIC_MAGIC)] != NBLIC_MAGIC:
             raise ValueError("not an NBLIC0.3 stream")
+        if len(data) < cls.SIZE:
+            raise ValueError("truncated NBLIC0.3 header")
         fields = struct.unpack_from(">BHHBBB", data, len(NBLIC_MAGIC))
         return cls(*fields)
 
@@ -83,6 +85,8 @@ class QnblicHeader:
     def from_bytes(cls, data: bytes) -> "QnblicHeader":
         if data[: len(QNBLIC_MAGIC)] != QNBLIC_MAGIC:
             raise ValueError("not a Q0.2 stream")
+        if len(data) < cls.SIZE:
+            raise ValueError("truncated Q0.2 header")
         height, width = struct.unpack_from("<HH", data, len(QNBLIC_MAGIC))
         return cls(height, width)
 
@@ -136,6 +140,8 @@ class NbtcHeader:
     def from_bytes(cls, data: bytes) -> "NbtcHeader":
         if data[: len(NBTC_MAGIC)] != NBTC_MAGIC:
             raise ValueError("not an NBTC stream")
+        if len(data) < cls.SIZE:
+            raise ValueError("truncated NBTC header")
         (_, profile, near, height, width, tile_h, tile_w, n_tiles, bias_len,
          hist_len) = struct.unpack_from("<HBBIIHHIII", data, len(NBTC_MAGIC))
         return cls(profile, near, height, width, tile_h, tile_w, n_tiles,
