@@ -47,7 +47,7 @@ def main() -> int:
     batches = list(groups.values())
 
     def encode_all():
-        return [tiled.encode_batch(batch) for batch in batches]
+        return tiled.encode_batches(batches)
 
     def decode_all(all_streams):
         return [tiled.decode_batch(s) for s in all_streams]

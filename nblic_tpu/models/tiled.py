@@ -654,6 +654,43 @@ def encode_batch(
     )
 
 
+def encode_batches(image_groups, near: int = 0,
+                   tile_h: int = DEFAULT_TILE[0],
+                   tile_w: int = DEFAULT_TILE[1],
+                   effort: int = 1) -> list[list[bytes]]:
+    """Encode several same-shape batches, pipelining the device programs.
+
+    Dispatch is asynchronous under the tunnel; issuing every group's program
+    before the first fetch overlaps their ~250 ms launch/transfer costs.
+    """
+    if near != 0:
+        return [
+            encode_batch(g, near=near, tile_h=tile_h, tile_w=tile_w,
+                         effort=effort)
+            for g in image_groups
+        ]
+    profile = 2 if effort >= 2 else 1
+    dispatched = []
+    for imgs in image_groups:
+        imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
+        h, w = imgs[0].shape
+        check_size(h, w)
+        tiles = jnp.asarray(
+            np.stack([to_tiles(im, tile_h, tile_w) for im in imgs])
+        )
+        fn = _encode_device2_batch if profile == 2 else _encode_device_batch
+        dispatched.append((imgs, h, w, tiles.shape[1], fn(tiles)))
+    out = []
+    for imgs, h, w, n_tiles, packed_dev in dispatched:
+        packed = np.asarray(packed_dev)
+        out.append(
+            _unpack_containers(
+                packed, len(imgs), n_tiles, h, w, tile_h, tile_w, 0, profile
+            )
+        )
+    return out
+
+
 def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
     """Decode a batch of same-geometry NBTC containers in one device program."""
     parsed = [_Parsed(s) for s in streams]
