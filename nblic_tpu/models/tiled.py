@@ -255,9 +255,27 @@ def _encode_device2_impl(tiles: jnp.ndarray):
     )
 
 
+def _encode_near2_impl(tiles, th: int, tw: int, near: int):
+    """Near-lossless profile-2 encode: lossless-proxy predictor race, then
+    the reconstruction-feedback scan with the chosen per-tile predictors."""
+    _, _, bias, w_q, flags = _model_lossless2_impl(tiles)
+    wcols = jnp.concatenate(
+        [w_q, flags[:, None], jnp.zeros((tiles.shape[0], 3), jnp.int32)],
+        axis=1,
+    )
+    x = tiles.astype(jnp.int32)
+    fn = functools.partial(
+        _tile_encode_scan, th=th, tw=tw, near=near, profile=2
+    )
+    y, qd = jax.vmap(fn, in_axes=(0, None, 0))(x, bias, wcols)
+    packed = _finish_encode_device(y, qd, bias)
+    return jnp.concatenate([packed, w_q.reshape(-1), flags])
+
+
 _encode_device_batch = jax.jit(jax.vmap(_encode_device_impl))
 _encode_device2_batch = jax.jit(jax.vmap(_encode_device2_impl))
 _finish_encode_jit = jax.jit(_finish_encode_device)
+_encode_near2_jit = jax.jit(_encode_near2_impl, static_argnums=(1, 2, 3))
 
 
 def _rans_fold_impl(y, qd, hist_n, acc):
@@ -325,13 +343,41 @@ def _tile_decode_scan(words, bias, hist_n, acc, lut_flat, th: int, tw: int, near
     return rows
 
 
-def _tile_encode_scan(tile, bias, th: int, tw: int, near: int):
+def _tile_encode_scan(tile, bias, wvec, th: int, tw: int, near: int,
+                      profile: int = 1):
     """Near-lossless modeling scan for one tile: reconstruction feedback.
 
     Returns (y, qd) planes; window slides on *reconstructed* pixels so the
     decoder replays the identical chain (NBLIC's in-place feedback analog,
-    NBLIC.c:876,915-916).
+    NBLIC.c:876,915-916).  ``wvec`` (16,): per-tile learned-predictor
+    weights + flag (profile 2; ignored at profile 1).
     """
+    from ..ops import lsq
+    from ..ops.neighbors import Neighbors
+    from ..ops.predict import (
+        activity, context_address, quantize_activity, simple_predict,
+    )
+
+    def model_px(regs, err):
+        nb = Neighbors(*regs)
+        px0 = simple_predict(nb)
+        if profile == 2:
+            acc_w = wvec[lsq.N_FEAT - 1]
+            for k, tap in enumerate(regs):
+                acc_w = acc_w + wvec[k] * (tap - 128)
+            px_l = jnp.clip(
+                128 + ((acc_w + (1 << (lsq.W_FRAC_BITS - 1)))
+                       >> lsq.W_FRAC_BITS),
+                0, 255,
+            )
+            flag = wvec[lsq.N_FEAT]
+            px_a = (px0 + px_l + 1) >> 1
+            px0 = jnp.where(
+                flag == 1, px_l, jnp.where(flag == 2, px_a, px0)
+            )
+        qd = quantize_activity(activity(nb, err))
+        adr = context_address(nb, px0, qd)
+        return px0, qd, adr
 
     def row_body(carry, i):
         prev1, prev2 = carry
@@ -339,7 +385,7 @@ def _tile_encode_scan(tile, bias, th: int, tw: int, near: int):
 
         def col_body(ccarry, j):
             regs, err, rec_row = ccarry
-            px0, qd, adr = pixel_model(regs, err)
+            px0, qd, adr = model_px(regs, err)
             px, sign = ctx_ops.apply_static_bias(bias, adr, px0)
             x_orig = tile[i, j]
             y = ctx_ops.residual_fold(x_orig, px, sign, near)
@@ -477,11 +523,14 @@ def _decode_tiles_batch(streams, bias, hist_n, acc, lut_flat, th, tw, near):
     return jax.vmap(per_image)(streams, bias, hist_n, acc, lut_flat)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _model_near(tiles, bias, th: int, tw: int, near: int):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _model_near(tiles, bias, wcols, th: int, tw: int, near: int,
+                profile: int = 1):
     x = tiles.astype(jnp.int32)
-    fn = functools.partial(_tile_encode_scan, th=th, tw=tw, near=near)
-    y, qd = jax.vmap(fn, in_axes=(0, None))(x, bias)
+    fn = functools.partial(
+        _tile_encode_scan, th=th, tw=tw, near=near, profile=profile
+    )
+    y, qd = jax.vmap(fn, in_axes=(0, None, 0))(x, bias, wcols)
     hist = ctx_ops.pair_segment_sum(
         qd.reshape(-1) * N_SYM + y.reshape(-1), None, N_QD * N_SYM
     ).reshape(N_QD, N_SYM)
@@ -536,14 +585,21 @@ def encode(
     h, w = img.shape
     check_size(h, w)
     tiles = jnp.asarray(to_tiles(img, tile_h, tile_w))
+    profile = 2 if effort >= 2 else 1
 
-    # encoder-side bias estimate from the lossless stage (any transmitted
-    # table is decodable; the scan replays whatever we send)
-    _, _, bias, _ = _model_lossless(tiles)
-    y, qd, _ = _model_near(tiles, bias, tile_h, tile_w, near)
-    packed = np.asarray(_finish_encode_jit(y, qd, bias))[None]
+    if profile == 1:
+        # encoder-side bias estimate from the lossless stage (any transmitted
+        # table is decodable; the scan replays whatever we send)
+        _, _, bias, _ = _model_lossless(tiles)
+        wcols = jnp.zeros((tiles.shape[0], 16), jnp.int32)
+        y, qd, _ = _model_near(tiles, bias, wcols, tile_h, tile_w, near, 1)
+        packed = np.asarray(_finish_encode_jit(y, qd, bias))[None]
+    else:
+        packed = np.asarray(
+            _encode_near2_jit(tiles, tile_h, tile_w, near)
+        )[None]
     return _unpack_containers(
-        packed, 1, tiles.shape[0], h, w, tile_h, tile_w, near
+        packed, 1, tiles.shape[0], h, w, tile_h, tile_w, near, profile
     )[0]
 
 

@@ -54,6 +54,15 @@ class TestProfile2:
         assert (p.flags > 0).any()  # at least one tile chose the learned fit
         np.testing.assert_array_equal(tiled.decode(stream), smooth)
 
+    @pytest.mark.parametrize("near", [2])
+    def test_near_lossless_profile2(self, rng, near):
+        img = rng.integers(0, 256, size=(48, 48), dtype=np.uint8)
+        stream = tiled.encode(img, near=near, tile_h=16, tile_w=16, effort=2)
+        p = tiled._Parsed(stream)
+        assert p.hdr.profile == 2 and p.hdr.near == near
+        dec = tiled.decode(stream)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= near
+
     def test_kodak_not_worse(self, kodak01):
         s1 = tiled.encode(kodak01, effort=1)
         s2 = tiled.encode(kodak01, effort=2)
