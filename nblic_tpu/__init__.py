@@ -27,3 +27,13 @@ from .api import (  # noqa: F401
 )
 
 __version__ = "0.1.0"
+
+_SUBPACKAGES = ("models", "ops", "parallel", "runtime", "utils")
+
+
+def __getattr__(name):
+    if name in _SUBPACKAGES:
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
