@@ -30,7 +30,7 @@ nblic_tpu: TPU-native lossless & near-lossless gray-8 image codec
     -t           multithread host encode (effort 0)
     --tiled      use the TPU-native tile-parallel NBTC container
     --backend=B  'native' (host runtime, default) or 'jax' (device engines)
-    --tile-h=N / --tile-w=N   NBTC tile geometry (defaults 64x128)
+    --tile-h=N / --tile-w=N   NBTC tile geometry (default 64x64)
 """
 
 

@@ -53,11 +53,17 @@ def test_sharded_fold_roundtrip(cpu_mesh, rng):
     )
     streams = rans.finalize_streams(words, emits, state)
     assert len(streams) == tiles_np.shape[0]
-    # the per-tile streams must decode with the standard scalar rANS fold
-    lut = np.stack(
-        [__import__("nblic_tpu.ops.histogram", fromlist=["decode_lut"]).decode_lut(a.astype(np.uint32)) for a in acc]
-    )
     assert all(len(s) >= 2 for s in streams)
+    # sharded fold must equal the single-device fold bit for bit
+    w1, e1, s1 = rans.encode_scan(
+        jnp.asarray(np.asarray(hist_n))[np.asarray(qd).reshape(16, -1),
+                                        np.asarray(y).reshape(16, -1)],
+        jnp.asarray(np.asarray(acc))[np.asarray(qd).reshape(16, -1),
+                                     np.asarray(y).reshape(16, -1)],
+    )
+    ref_streams = rans.finalize_streams(w1, e1, s1)
+    for a, b in zip(streams, ref_streams):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_graft_dryrun():
