@@ -119,13 +119,14 @@ def main() -> int:
     # words is still fixed-trip and the kernel clamps its window loads)
     from nblic_tpu.ops import pallas_decode
 
-    @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+    @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
     def dec_loop(streams, n_active, bias, hist_n, acc, wcols, th, tw, near,
-                 g, n):
+                 g, profile, n):
         def body(_, carry):
             s = streams ^ (carry[0] & 1)
             out = pallas_decode.decode_groups_pallas(
-                s, n_active, bias, hist_n, acc, wcols, th, tw, near, g, 1
+                s, n_active, bias, hist_n, acc, wcols, th, tw, near, g,
+                profile,
             )
             return out.reshape(-1)[:1].astype(jnp.int32)
 
@@ -148,7 +149,7 @@ def main() -> int:
         ac = jnp.asarray(np.stack([q.acc for q in parsed]))
         wc = jnp.asarray(np.concatenate([q.weight_cols() for q in parsed]))
         args = (sm, na, bias, hn, ac, wc, p.hdr.tile_h, p.hdr.tile_w,
-                p.hdr.near, p.group_size)
+                p.hdr.near, p.group_size, p.hdr.profile)
         np.asarray(dec_loop(*args, n_lo))
         np.asarray(dec_loop(*args, n_hi))
         t0 = time.perf_counter()

@@ -9,10 +9,11 @@ correction (ops/predict.py, ops/context.py), walks the rank mapper
 (ops/range_coder.py).  Encode and decode share the body, like the
 reference's single ``NBLICcodec`` function.
 
-Efforts 2-3 add the int64 online least-squares predictor (AVP); those
-interop paths are served by the native runtime (runtime/nbrt_nblic.cpp) —
-the device engine rejects them explicitly.  The TPU-native re-design of the
-AVP idea (batched per-tile least squares on the MXU) lives in the NBTC
+Efforts 2-3 add the int64 online least-squares predictor (AVP, ops/avp.py)
+and run under x64 mode — bit-identical to the reference on CPU devices
+(tests/test_interop_jax.py); the native runtime (runtime/nbrt_nblic.cpp) is
+the host fast path for the same containers.  The TPU-native re-design of
+the AVP idea (batched per-tile least squares on the MXU) lives in the NBTC
 engine, not here.
 """
 
@@ -182,6 +183,11 @@ def encode(img: np.ndarray, near: int = 0, effort: int = 1) -> bytes:
         k_step, False, effort,
     )
     n_bytes = int(st.ptr)
+    if n_bytes > cap:
+        # JAX scatter writes clip at the buffer end, so an overrun would
+        # otherwise return a silently truncated stream (the native path
+        # detects this via ByteSink::overflowed)
+        raise ValueError("compressed stream exceeded output capacity")
     payload = np.asarray(st.buf[:n_bytes]).tobytes()
     head = NblicHeader(1, h, w, near, k_step, effort).to_bytes()
     return head + payload

@@ -688,7 +688,10 @@ def encode_batch(
     lossless (near=0) is batched; near>0 falls back to per-image encode.
     """
     if near != 0:
-        return [encode(im, near=near, tile_h=tile_h, tile_w=tile_w) for im in imgs]
+        return [
+            encode(im, near=near, tile_h=tile_h, tile_w=tile_w, effort=effort)
+            for im in imgs
+        ]
     profile = 2 if effort >= 2 else 1
     imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
     h, w = imgs[0].shape
@@ -749,6 +752,8 @@ def encode_batches(image_groups, near: int = 0,
 
 def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
     """Decode a batch of same-geometry NBTC containers in one device program."""
+    if not streams:
+        return []
     parsed = [_Parsed(s) for s in streams]
     h0 = parsed[0].hdr
     if any(

@@ -111,9 +111,11 @@ def bias_moments(adr: jnp.ndarray, err: jnp.ndarray, n_ctx: int):
 def quantize_bias(sums: jnp.ndarray, cnts: jnp.ndarray) -> jnp.ndarray:
     """Fixed-point (2^BIAS_FRAC_BITS) rounded mean error per context."""
     # round-half-away-from-zero of 16*sum/cnt, in pure integer math
+    # (computed on magnitudes: floor division on a sign-corrected numerator
+    # would round negative means one step too negative)
     denom = jnp.maximum(cnts, 1)
-    num = (sums << BIAS_FRAC_BITS) * 2 + jnp.sign(sums) * denom
-    bias = num // (2 * denom)  # floor division; sign-corrected numerator
+    mag = ((jnp.abs(sums) << BIAS_FRAC_BITS) * 2 + denom) // (2 * denom)
+    bias = jnp.sign(sums) * mag
     bias = jnp.where(cnts > 0, bias, 0)
     return jnp.clip(bias, -(1 << 11), (1 << 11) - 1).astype(jnp.int32)
 

@@ -121,38 +121,34 @@ def deserialize(words, pos: int):
     hist = np.zeros(N_SYM, dtype=np.uint32)
     i, s = 0, 0
     while i < N_SYM and s < NORM_SUM:
+        if pos >= len(words):
+            raise ValueError("truncated histogram stream")
         code = int(words[pos])
         pos += 1
         if (code >> 15) == 0:
-            hist[i] = code
-            s += code
-            i += 1
+            vals = (code,)
         elif (code >> 14) == 2:
-            for v in ((code >> 7) & 0x7F, code & 0x7F):
-                hist[i] = v
-                s += v
-                i += 1
+            vals = ((code >> 7) & 0x7F, code & 0x7F)
         elif (code >> 12) == 12:
-            for v in ((code >> 8) & 0xF, (code >> 4) & 0xF, code & 0xF):
-                hist[i] = v
-                s += v
-                i += 1
+            vals = ((code >> 8) & 0xF, (code >> 4) & 0xF, code & 0xF)
         elif (code >> 12) == 13:
-            for v in ((code >> 9) & 0x7, (code >> 6) & 0x7, (code >> 3) & 0x7, code & 0x7):
-                hist[i] = v
-                s += v
-                i += 1
+            vals = (
+                (code >> 9) & 0x7, (code >> 6) & 0x7, (code >> 3) & 0x7,
+                code & 0x7,
+            )
         else:
             length = (code & 0xFF) + 4
             he = (code >> 8) & 0xF
             h0 = (code >> 12) & 0x1
-            hist[i : i + length] = h0
-            s += h0 * length
-            i += length
-            if he != h0:
-                hist[i] = he
-                s += he
-                i += 1
+            vals = (h0,) * length + ((he,) if he != h0 else ())
+        if i + len(vals) > N_SYM:
+            # multi-symbol codes near i=255 would otherwise write past the
+            # table (the C++ read_hist bounds-checks the same way)
+            raise ValueError("malformed histogram stream")
+        for v in vals:
+            hist[i] = v
+            s += v
+            i += 1
     if s != NORM_SUM:
         raise ValueError("malformed histogram stream")
     return hist, pos

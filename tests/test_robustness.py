@@ -38,7 +38,7 @@ def test_truncated_headers_raise(good_streams):
     for key in ("q", "n", "t"):
         s = good_streams[key]
         for cut in (1, 4, 8):
-            with pytest.raises((ValueError, RuntimeError, IndexError)):
+            with pytest.raises((ValueError, RuntimeError)):
                 api.decompress(s[:cut])
 
 
@@ -51,7 +51,7 @@ def test_truncated_payload_no_crash(good_streams):
             out = api.decompress(cut)
             # garbage is acceptable; crashes / wrong shapes are not
             assert out.shape == img.shape
-        except (ValueError, RuntimeError, IndexError):
+        except (ValueError, RuntimeError):
             pass
 
 
@@ -66,7 +66,7 @@ def test_flipped_payload_bytes_no_crash(good_streams, rng_mod):
         try:
             out = api.decompress(bytes(s))
             assert out.shape == img.shape
-        except (ValueError, RuntimeError, IndexError):
+        except (ValueError, RuntimeError):
             pass
 
 
