@@ -1,0 +1,231 @@
+"""Parallel AVP — the NBTC profile-3 predictor (TPU-native AVP redesign).
+
+The reference AVP (NBLIC.c:112-283) is an online int64 ridge regression
+whose spatial statistics decay per column (B), per row position (E), and as
+a right-to-left prefix (F).  At near=0 every input to those recurrences is
+the *original* image, so the whole predictor decomposes into three short
+vectorized scans plus one independent 6x6 integer solve per pixel — no
+raster-sequential chain at all (SURVEY.md §7.1, hard part #2 resolved by
+restructuring rather than emulation):
+
+- ``col_chain``  — B: per-column decay over rows      (H steps, (m, T*W) body)
+- ``e_chain``    — E: in-row left accumulation         (W steps, (m, T*H) body)
+- ``f_chain``    — F: right-to-left decayed prefix     (W steps, (m, T*H) body)
+- ``solve_batch``— per-pixel Gaussian elimination with partial pivoting,
+  vectorized with the *pixel axis last* (a (P, n, n) layout pads 28x on TPU
+  tiling; (n, n, P) pads only 8/6).
+
+Two deliberate format-level departures from the reference (this is the NBTC
+native profile, not interop): the per-sample inverse-error-energy weight
+uses the *simple predictor's* local error (fully parallel) instead of the
+AVP's own prediction error (sequential feedback), and the ridge strength is
+fixed at BIAS_INIT instead of the dual-bias random walk (measured: <0.001
+bpp on Kodak).  All arithmetic is int64 (emulated on TPU) so encoder and
+decoder replay bit-identically on every backend.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .avp import ALPHA, BETA, FB1, FB2, FB3, tdiv
+
+FIT_BASE = 128
+RIDGE_BIAS = 8  # BIAS_INIT (NBLIC.c:82); prediction is insensitive to it
+N_FEAT = 6      # effort-2 class predictor (N_LIST[2], NBLIC.c:88)
+
+
+def get_m(n: int) -> int:
+    return 1 + n + n * n
+
+
+def _ab_vec(m: int, first_beta: bool = True):
+    """Per-channel decay denominators: BETA for the energy channel, ALPHA
+    for the regression moments (NBLIC.c:272-282).  ``first_beta=False``
+    when the stack excludes the energy channel."""
+    first = BETA if first_beta else ALPHA
+    return jnp.asarray([first] + [ALPHA] * (m - 1), jnp.int64)[:, None]
+
+
+def col_chain(contrib, first_beta: bool = True):
+    """B state after the update at each row.  contrib: (H, m, L) int64."""
+    ab = _ab_vec(contrib.shape[1], first_beta)
+
+    def step(b, c):
+        b = tdiv(b * (ab - 1) + (ab >> 1), ab) + c
+        return b, b
+
+    _, out = jax.lax.scan(step, jnp.zeros_like(contrib[0]), contrib)
+    return out
+
+
+def e_chain(b_new, first_beta: bool = True):
+    """E before each pixel: in-row accumulation of post-update B columns.
+
+    b_new: (W, m, L) row-major per-column states for one row set; returns E
+    *before* column j (E after j-1), zero at j=0 (NBLIC.c:826, 276-281).
+    """
+    ab = _ab_vec(b_new.shape[1], first_beta)
+
+    def step(e, b):
+        # emit E before column j, then fold column j's post-update B in
+        e2 = tdiv(e * (ab - 1) + (ab >> 1), ab) + b
+        return e2, e
+
+    _, out = jax.lax.scan(step, jnp.zeros_like(b_new[0]), b_new)
+    return out
+
+
+def f_chain(b_prev, first_beta: bool = True):
+    """F at each column from the previous row's B (AVPprecalcuate,
+    NBLIC.c:186-204).  b_prev: (W, m, L); returns F: (W, m, L)."""
+    ab = _ab_vec(b_prev.shape[1], first_beta)
+
+    def step(f, b):
+        f2 = tdiv(f * (ab - 1) + (ab >> 1), ab) + b
+        return f2, f2
+
+    _, out = jax.lax.scan(step, jnp.zeros_like(b_prev[0]), b_prev[::-1])
+    return out[::-1]
+
+
+def solve_batch(a, b, n: int):
+    """int64 Gaussian elimination, pixel axis LAST.  a: (n, n, P), b: (n, P).
+
+    Matches AVPsolveAxb (NBLIC.c:112-161): partial pivoting by |A[i,k]|,
+    C-truncating quotients of full products.  Returns (diag, x_num, ok)
+    where the solution component k is x_num[k]/diag[k].
+    """
+    ok = jnp.ones(a.shape[2], bool)
+
+    for k in range(n - 1):
+        # pivot row: argmax |a[i,k]| over i >= k  (first max wins, like C)
+        col = jnp.stack([jnp.abs(a[i, k]) for i in range(n)])
+        mask = (jnp.arange(n) >= k)[:, None]
+        piv = jnp.argmax(jnp.where(mask, col, -1), axis=0)  # (P,)
+        for i in range(k + 1, n):
+            swap = piv == i
+            for j in range(k, n):
+                ak, ai = a[k, j], a[i, j]
+                a = a.at[k, j].set(jnp.where(swap, ai, ak))
+                a = a.at[i, j].set(jnp.where(swap, ak, ai))
+            bk, bi = b[k], b[i]
+            b = b.at[k].set(jnp.where(swap, bi, bk))
+            b = b.at[i].set(jnp.where(swap, bk, bi))
+        akk = a[k, k]
+        ok &= akk != 0
+        safe = jnp.where(akk == 0, 1, akk)
+        for i in range(k + 1, n):
+            aik = a[i, k]
+            for j in range(k + 1, n):
+                a = a.at[i, j].set(a[i, j] - tdiv(a[k, j] * aik, safe))
+            b = b.at[i].set(b[i] - tdiv(b[k] * aik, safe))
+            a = a.at[i, k].set(jnp.zeros_like(aik))
+
+    for k in range(n - 1, 0, -1):
+        akk = a[k, k]
+        ok &= akk != 0
+        safe = jnp.where(akk == 0, 1, akk)
+        for i in range(k):
+            b = b.at[i].set(b[i] - tdiv(b[k] * a[i, k], safe))
+
+    diag = jnp.stack([a[k, k] for k in range(n)])
+    return diag, b, ok
+
+
+def predict_from_stats(stats, feats, n: int):
+    """Ridge solve + fixed-point prediction (AVPpredict, NBLIC.c:210-239).
+
+    stats: (m, P) = E + F; feats: (n, P).  Returns (px_fixed, ok)."""
+    bias = jnp.int64(RIDGE_BIAS)
+    bvec = stats[1 : 1 + n] + (bias << FB3)
+    amat = stats[1 + n :].reshape(n, n, -1)
+    eye = jnp.eye(n, dtype=jnp.int64)[:, :, None]
+    amat = amat + eye * (bias * n)
+    diag, num, ok = solve_batch(amat, bvec, n)
+    safe = jnp.where(diag == 0, 1, diag)
+    terms = tdiv(((num * feats) << FB2) + (safe >> 1), safe)
+    px = (jnp.int64(FIT_BASE) << FB1) + jnp.sum(terms, axis=0)
+    px = jnp.clip(px, 0, jnp.int64(255) << FB1)
+    return px, ok
+
+
+def predict_plane(strips, n: int = N_FEAT):
+    """AVP prediction for every pixel of (S, H, W) int32 strips, in parallel.
+
+    Returns the int32 px0 plane.  Decomposition of the reference's per-pixel
+    loop (NBLIC.c:807-894) into three vectorized scans + one batched solve:
+    B is a per-column chain over rows, E an in-row left chain, F the
+    right-to-left decayed prefix of the previous row's B.  The per-sample
+    inverse-error-energy weight uses the simple predictor's error (parallel
+    proxy for the reference's own-prediction feedback, NBLIC.c:884-886).
+    """
+    from .neighbors import sample
+    from .predict import simple_predict
+
+    s, h, w = strips.shape
+    m = get_m(n)
+    x32 = strips.astype(jnp.int32)
+    nb = sample(x32)
+    px_s = simple_predict(nb)
+    x = strips.astype(jnp.int64)
+
+    # t tap: img[i, j-2], falling back to d at j<2 (sampleNeighbourPixels)
+    d64 = nb.d.astype(jnp.int64)
+    rolled = jnp.roll(x, 2, axis=2)
+    t_tap = jnp.where(jnp.arange(w)[None, None, :] >= 2, rolled, d64)
+    taps = (nb.a, nb.b, nb.c, nb.d, nb.e, nb.f, t_tap, nb.h, nb.q, nb.g)
+    feats = jnp.stack(
+        [jnp.asarray(v, jnp.int64) - FIT_BASE for v in taps[:n]]
+    )  # (n, S, H, W)
+
+    s_curr = jnp.abs(x - px_s.astype(jnp.int64)) << FB1
+
+    def run_chains(contrib, first_beta=True):
+        """contrib (C, S, H, W) -> (E + F) stats, same leading C."""
+        c = contrib.shape[0]
+        # B: per-column chain over rows; scan over H with (C, S*W) body
+        b_in = contrib.transpose(2, 0, 1, 3).reshape(h, c, s * w)
+        b_new = col_chain(b_in, first_beta).reshape(h, c, s, w).transpose(1, 2, 0, 3)
+        # E: in-row left chain; scan over W with (C, S*H) body
+        e_in = b_new.transpose(3, 0, 1, 2).reshape(w, c, s * h)
+        e = e_chain(e_in, first_beta).reshape(w, c, s, h).transpose(1, 2, 3, 0)
+        # F: right-to-left prefix of the previous row's B
+        b_prev = jnp.concatenate(
+            [jnp.zeros_like(b_new[:, :, :1]), b_new[:, :, :-1]], axis=2
+        )
+        f_in = b_prev.transpose(3, 0, 1, 2).reshape(w, c, s * h)
+        f = f_chain(f_in, first_beta).reshape(w, c, s, h).transpose(1, 2, 3, 0)
+        return e + f
+
+    # energy channel first: its E+F feeds every other channel's weight
+    ef0 = run_chains(s_curr[None])[0]
+    s_sum = ef0 + tdiv(s_curr * BETA, jnp.int64(BETA - 1))
+    contrib = contributions(
+        x.reshape(-1), feats.reshape(n, -1), s_curr.reshape(-1),
+        s_sum.reshape(-1), n,
+    )[1:].reshape(n + n * n, s, h, w)
+    stats = run_chains(contrib, first_beta=False)
+
+    stats_flat = jnp.concatenate(
+        [ef0.reshape(1, -1), stats.reshape(n + n * n, -1)]
+    )
+    px_f, ok = predict_from_stats(stats_flat, feats.reshape(n, -1), n)
+    px0 = ((px_f + (1 << (FB1 - 1))) >> FB1).astype(jnp.int32).reshape(s, h, w)
+    return jnp.where(ok.reshape(s, h, w), px0, px_s)
+
+
+def contributions(x, feats, s_curr, s_sum, n: int):
+    """Per-pixel moment contributions (AVPupdate, NBLIC.c:242-270).
+
+    x: (..., P) int64 pixels; feats: (n, P); s_curr/s_sum: (P,).
+    Returns (m, P) int64 [energy, b-vector, A-matrix flattened]."""
+    xf = x - FIT_BASE
+    s_sum = jnp.clip(s_sum + (jnp.int64(1) << FB1), jnp.int64(1) << FB1,
+                     jnp.int64(16) << FB1)
+    half = s_sum >> 1
+    vb = tdiv(((xf * feats) << (4 + FB1 + FB1)) + half, s_sum)
+    va = tdiv(((feats[:, None] * feats[None, :]) << (4 + FB2 + FB1))
+              + half, s_sum).reshape(n * n, -1)
+    return jnp.concatenate([s_curr[None], vb, va])
