@@ -1,0 +1,535 @@
+"""NBTC profile 3 — the adaptive-coding strip engine (ratio flagship).
+
+This is the TPU-native counterpart of the reference's *whole adaptive
+stack* — AVP predictor (NBLIC.c:112-283), context bias (:398-428),
+AutoMapper (:470-523), counter-mixed binary coding (:589-679) — rebuilt so
+the encoder is parallel end to end:
+
+- Full-width strips (default 128 rows).  Measured strip-boundary cost is
+  ~0.008 bpp vs 0.045 for 64x64 tiles; portrait images are transposed to
+  landscape (flagged) so corpora share one geometry.
+- Modeling: parallel AVP (ops/pavp.py) + static transmitted context-bias
+  table; whole-plane vector math throughout.
+- Coding: layered Zcodec walk (ops/zcodec3.py) with row-frozen counter and
+  mapper state (ops/coder3.py) — the encoder's only sequential structure is
+  a scan over rows whose body is small einsums; the decoder replays the
+  identical row updates from its decoded pixels (shared ``_row_code``).
+- Entropy: binary rANS (ops/rans_bin.py), N_PHASE interleaved states per
+  strip with *static* slot-phase assignment, so the per-state fold input is
+  a pure reshape of the dense layer grid (no data-dependent compaction).
+
+Container (``NBTC0001`` magic, profile=3): header | zlib int16[3072] bias |
+per-state u32 word-length table | concatenated per-state u16 streams.
+``tile_h`` carries the strip height, ``tile_w`` the transposed flag,
+``n_tiles`` the strip count.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import MAX_PX_INC, Q_N_CONTEXT
+from ..ops import coder3, context as ctx_ops, pavp, rans, rans_bin, zcodec3
+from ..ops.neighbors import Neighbors, sample
+from ..ops.predict import (
+    activity,
+    context_address,
+    n_quantize_activity,
+    quantize_activity,
+    shift_err,
+    simple_predict,
+)
+from ..ops.window import row_start_window, slide_window
+from ..utils.container import NbtcHeader, check_size
+
+TH_DEFAULT = 128
+K_STEP = 3          # lossless k_step (NBLIC.c:769 at near=0)
+N_PHASE = rans_bin.N_PHASE
+L_U = zcodec3.N_UNARY
+L_R = zcodec3.ESCAPE_BITS  # refine grid carries the escape bypass bits too
+L_TOT = L_U + L_R
+PROFILE = 3
+
+
+# ---------------------------------------------------------------------------
+# shared per-row coding model (encoder body == decoder replay)
+# ---------------------------------------------------------------------------
+
+
+def _layer_prob_plane(tab_prob, row, cls: int):
+    """(L, W) prob gather from (L, 16, C) at [lane, row, cls] via one-hot."""
+    oh = jax.nn.one_hot(row, zcodec3.N_ROW, dtype=jnp.float32)
+    t = tab_prob[:, :, cls].astype(jnp.float32)
+    return jnp.einsum("lwr,lr->lw", oh, t).astype(jnp.int32)
+
+
+def _refine_prob_plane(rtab_prob, row_end, kk, msb):
+    """(L, W) refine-prob gather from (L, 16, 5, 2) at data indices."""
+    ohr = jax.nn.one_hot(row_end, zcodec3.N_ROW, dtype=jnp.float32)
+    ohk = jax.nn.one_hot(kk, zcodec3.N_REFINE, dtype=jnp.float32)
+    p0 = jnp.einsum(
+        "lwr,lwk,lrk->lw", ohr, ohk, rtab_prob[..., 0].astype(jnp.float32)
+    )
+    p1 = jnp.einsum(
+        "lwr,lwk,lrk->lw", ohr, ohk, rtab_prob[..., 1].astype(jnp.float32)
+    )
+    return jnp.where(msb == 1, p1, p0).astype(jnp.int32)
+
+
+def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r):
+    """One row of the coding model: per-slot (prob, bin, mask) + new state.
+
+    All row planes are (L, W).  The decoder calls this with its *decoded*
+    row to replay the adaptive-state transition bit-exactly."""
+    lc = zcodec3.layer_consts(K_STEP)
+    ranks, _ = coder3.mapper_ranks(mhist)
+    z = jnp.where(
+        y_r < coder3.N_MAP,
+        coder3.mapper_lookup(ranks, img_of_lane, key_r, y_r),
+        y_r,
+    )
+    unary, row_end, k_end, escaped = zcodec3.unary_layers(
+        z, qu_r, qv_r, K_STEP
+    )
+    refine = zcodec3.refine_layers(z, k_end, escaped)
+
+    uprob = coder3.prob_table(utab)
+    rprob = coder3.prob_table(rtab)
+    probs, bins, masks = [], [], []
+    for l, (ru, rv, b, act) in enumerate(unary):
+        pu = _layer_prob_plane(uprob, ru, lc.cls_vals[l])
+        pv = _layer_prob_plane(uprob, rv, lc.cls_vals[l])
+        probs.append(coder3.mix_prob(pu, pv, qw_r))
+        bins.append(b.astype(jnp.int32))
+        masks.append(act)
+    for l in range(L_R):
+        if l < zcodec3.N_REFINE:
+            bit, act, msb = refine[l]
+            kk = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
+            p_ad = _refine_prob_plane(rprob, row_end, kk, msb)
+        else:
+            bit = jnp.zeros_like(z)
+            act = jnp.zeros(z.shape, bool)
+            p_ad = jnp.full(z.shape, rans_bin.BYPASS_P1, jnp.int32)
+        esc_bit = (z >> (zcodec3.ESCAPE_BITS - 1 - l)) & 1
+        probs.append(jnp.where(escaped, rans_bin.BYPASS_P1, p_ad))
+        bins.append(jnp.where(escaped, esc_bit, bit))
+        masks.append(act | escaped)
+
+    utab, rtab = coder3.row_updates(
+        utab, rtab, qw_r, unary, refine, row_end, k_end, K_STEP
+    )
+    mhist = coder3.mapper_updates(mhist, img_of_lane, key_r, y_r)
+    return (
+        (jnp.stack(probs), jnp.stack(bins), jnp.stack(masks)),
+        (utab, rtab, mhist),
+    )
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+def _model_planes(strips):
+    """Whole-plane modeling: AVP prediction + contexts + fold (lossless)."""
+    x = strips.astype(jnp.int32)
+    px0 = pavp.predict_plane(x, pavp.N_FEAT)
+    nb = sample(x)
+    err_raw = x - px0
+    err_c = jnp.clip(err_raw, -MAX_PX_INC, MAX_PX_INC)
+    delta = activity(nb, shift_err(err_c))
+    qd12 = quantize_activity(delta)
+    qu, qv, qw = n_quantize_activity(delta)
+    adr = context_address(nb, px0, qd12)
+    bias_tab = ctx_ops.build_static_bias(adr, err_raw, Q_N_CONTEXT)
+    pxc, sign = ctx_ops.apply_static_bias(bias_tab, adr, px0)
+    y = ctx_ops.residual_fold(x, pxc, sign, 0)
+    key = jnp.clip(pxc, 0, 255) * 2 + sign
+    return y, qu, qv, qw, key, bias_tab
+
+
+def _encode_impl(strips):
+    """Profile-3 encode of one image: (S, TH, W) u8 -> (lengths+bias, flat)."""
+    s, th, w = strips.shape
+    y, qu, qv, qw, key, bias_tab = _model_planes(strips)
+    n_class = 256 >> zcodec3.layer_consts(K_STEP).k_max
+    img_of_lane = jnp.zeros((s,), jnp.int32)
+
+    def row_body(carry, inputs):
+        slots, carry = _row_code(*carry, img_of_lane, *inputs)
+        return carry, slots
+
+    init = (
+        coder3.init_unary(s, n_class),
+        coder3.init_refine(s),
+        coder3.init_mapper(1),
+    )
+    xs = tuple(jnp.moveaxis(v, 1, 0) for v in (y, qu, qv, qw, key))
+    _, (probs, bins, masks) = jax.lax.scan(row_body, init, xs)
+
+    def fold_layout(a):
+        # (TH, L, S, W) -> per-lane slot order (r, c, l) -> phase-major rows
+        a = a.transpose(2, 0, 3, 1).reshape(s, th * w * L_TOT)
+        a = a.reshape(s, -1, N_PHASE).transpose(0, 2, 1)
+        return a.reshape(s * N_PHASE, -1)
+
+    words, emits, state = rans_bin.fold(
+        fold_layout(probs), fold_layout(bins), fold_layout(masks)
+    )
+    flat, lengths = rans.pack_streams(words, emits, state)
+    flat = flat.astype(jnp.int32)
+    flat32 = flat[0::2] | (flat[1::2] << 16)
+    meta = jnp.concatenate([lengths, bias_tab])
+    return meta, flat32
+
+
+_encode_jit = jax.jit(lambda s: _encode_impl(s))
+_encode_batch_jit = jax.jit(jax.vmap(_encode_impl))
+
+
+def _to_strips(img: np.ndarray, th: int) -> np.ndarray:
+    h, w = img.shape
+    s = -(-h // th)
+    padded = np.pad(img, ((0, s * th - h), (0, 0)), mode="edge")
+    return padded.reshape(s, th, w)
+
+
+def _container(meta, words, h0, w0, s, th, transposed) -> bytes:
+    n_states = s * N_PHASE
+    lengths = np.asarray(meta[:n_states], np.uint32)
+    bias = np.asarray(meta[n_states:], np.int16)
+    bias_z = zlib.compress(bias.tobytes(), 6)
+    hdr = NbtcHeader(
+        profile=PROFILE,
+        near=0,
+        height=h0,
+        width=w0,
+        tile_h=th,
+        tile_w=int(transposed),
+        n_tiles=s,
+        bias_len=len(bias_z),
+        hist_len=4 * n_states,
+    )
+    return (
+        hdr.to_bytes()
+        + bias_z
+        + lengths.astype("<u4").tobytes()
+        + words.tobytes()
+    )
+
+
+def encode(img: np.ndarray, th: int = TH_DEFAULT) -> bytes:
+    """Profile-3 lossless encode of one gray-8 image."""
+    return encode_batch([img], th=th)[0]
+
+
+def encode_batch(imgs, th: int = TH_DEFAULT) -> list[bytes]:
+    """Encode same-shape images in one device program (lossless)."""
+    imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
+    h0, w0 = imgs[0].shape
+    for im in imgs:
+        if im.shape != (h0, w0):
+            raise ValueError("encode_batch requires same-shape images")
+    check_size(h0, w0)
+    transposed = h0 > w0
+    if transposed:
+        imgs = [np.ascontiguousarray(im.T) for im in imgs]
+    h, w = imgs[0].shape
+    th = min(th, -(-h // N_PHASE) * N_PHASE)
+    strips = np.stack([_to_strips(im, th) for im in imgs])
+    s = strips.shape[1]
+    with jax.enable_x64():
+        if len(imgs) == 1:
+            meta_d, flat_d = _encode_jit(jnp.asarray(strips[0]))
+            metas, flats = meta_d[None], flat_d[None]
+        else:
+            metas, flats = _encode_batch_jit(jnp.asarray(strips))
+        metas = np.asarray(metas)
+        n_states = s * N_PHASE
+        totals = [
+            int((np.asarray(m[:n_states], np.uint32).sum() + 1) // 2)
+            for m in metas
+        ]
+        # fetch only the live prefix of each packed stream (the padded fold
+        # buffer is ~40x the compressed size; the tunnel is the bottleneck)
+        flat_np = np.asarray(flats[:, : max(totals)])
+    out = []
+    for b, im in enumerate(imgs):
+        n_words = int(np.asarray(metas[b][:n_states], np.uint32).sum())
+        w32 = flat_np[b, : (n_words + 1) // 2].astype(np.uint32)
+        u16 = np.empty(w32.size * 2, np.uint16)
+        u16[0::2] = w32 & 0xFFFF
+        u16[1::2] = w32 >> 16
+        out.append(
+            _container(metas[b], u16[:n_words], h0, w0, s, th, transposed)
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int):
+    """Lockstep decode: lanes = n_imgs * s strips, mirrors _encode_impl.
+
+    smat: (lanes, N_PHASE, wmax) int32 per-state streams; bias_b:
+    (n_imgs, Q_N_CONTEXT) int32.  Returns (lanes, th, w) int32 pixels.
+    """
+    lanes = n_imgs * s
+    n = pavp.N_FEAT
+    m = pavp.get_m(n)
+    n_class = 256 >> zcodec3.layer_consts(K_STEP).k_max
+    img_of_lane = jnp.repeat(jnp.arange(n_imgs, dtype=jnp.int32), s)
+    lc = zcodec3.layer_consts(K_STEP)
+    ab = pavp._ab_vec(m)
+
+    state0, _ = rans_bin.dec_init(smat)
+    ptr0 = jnp.full((lanes, N_PHASE), 2, jnp.int32)
+
+    def row_body(carry, i):
+        prev1, prev2, b_row, utab, rtab, mhist, states, ptrs = carry
+        # AVPprecalcuate: F from the previous row's B state
+        f_row = pavp.f_chain(jnp.moveaxis(b_row, 2, 0))  # (W, m, lanes)
+        f_row = jnp.moveaxis(f_row, 0, 2)  # (m, lanes, W)
+
+        uprob = coder3.prob_table(utab)
+        rprob = coder3.prob_table(rtab)
+        _, order = coder3.mapper_ranks(mhist)
+        order_l = jnp.take(order, img_of_lane, axis=0)  # (lanes, 512, N_MAP)
+
+        regs0 = row_start_window(i, prev1, prev2, w)
+
+        def code_bin(states, ptrs, slot_l, p1, active, i, j):
+            phase = ((i * w + j) * L_TOT + slot_l) % N_PHASE
+            st = jax.lax.dynamic_slice_in_dim(states, phase, 1, 1)[:, 0]
+            pt = jax.lax.dynamic_slice_in_dim(ptrs, phase, 1, 1)[:, 0]
+            row_words = jax.lax.dynamic_slice_in_dim(smat, phase, 1, 1)[:, 0]
+            b, st2 = rans_bin.dec_bit(st, p1)
+            st2, pt2 = rans_bin.dec_renorm(st2, pt, row_words)
+            st = jnp.where(active, st2, st)
+            pt = jnp.where(active, pt2, pt)
+            states = jax.lax.dynamic_update_slice_in_dim(
+                states, st[:, None], phase, 1
+            )
+            ptrs = jax.lax.dynamic_update_slice_in_dim(
+                ptrs, pt[:, None], phase, 1
+            )
+            return jnp.where(active, b, 0), states, ptrs
+
+        def col_body(ccarry, j):
+            regs, err, row_px, e_acc, b_row, states, ptrs = ccarry
+            nb = Neighbors(*regs)
+            px_s = simple_predict(nb)
+            feats = jnp.stack(
+                [v.astype(jnp.int64) - pavp.FIT_BASE
+                 for v in (nb.a, nb.b, nb.c, nb.d, nb.e, nb.f)[:n]]
+            )
+            stats = e_acc + f_row[:, :, j]
+            px_f, ok = pavp.predict_from_stats(stats, feats, n)
+            px0 = ((px_f + (1 << (pavp.FB1 - 1))) >> pavp.FB1).astype(
+                jnp.int32
+            )
+            px0 = jnp.where(ok, px0, px_s)
+            delta = activity(nb, err)
+            qd12 = quantize_activity(delta)
+            qu, qv, qw = n_quantize_activity(delta)
+            adr = context_address(nb, px0, qd12)
+            bias = jnp.take_along_axis(
+                bias_b, adr.reshape(n_imgs, s), axis=1
+            ).reshape(lanes)
+            sign = (bias >> (ctx_ops.BIAS_FRAC_BITS - 1)) & 1
+            pxc = jnp.clip(
+                px0 + (bias >> ctx_ops.BIAS_FRAC_BITS) + sign, 0, 255
+            )
+            key = pxc * 2 + sign
+
+            # unary walk
+            qv2 = zcodec3.adjust_qv(qu, qv, K_STEP)
+            active = jnp.ones((lanes,), bool)
+            stop_row = jnp.zeros((lanes,), jnp.int32)
+            stopped = jnp.zeros((lanes,), bool)
+            stop_layer = jnp.zeros((lanes,), jnp.int32)
+            for l in range(L_U):
+                ru = zcodec3.escalated_row(qu, lc.esc_counts[l], K_STEP)
+                rv = zcodec3.escalated_row(qv2, lc.esc_counts[l], K_STEP)
+                pu = _gather_prob(uprob, ru, lc.cls_vals[l])
+                pv = _gather_prob(uprob, rv, lc.cls_vals[l])
+                p1 = coder3.mix_prob(pu, pv, qw)
+                b, states, ptrs = code_bin(states, ptrs, l, p1, active, i, j)
+                stop_here = active & (b == 0)
+                stop_row = jnp.where(stop_here, ru, stop_row)
+                stop_layer = jnp.where(stop_here, l, stop_layer)
+                stopped = stopped | stop_here
+                active = active & (b == 1)
+
+            escaped = active
+            k_end = jnp.where(stopped, stop_row // K_STEP, 0)
+            i_stop = jnp.zeros((lanes,), jnp.int32)
+            for l in range(L_U):
+                i_stop = jnp.where(stop_layer == l, lc.i_vals[l], i_stop)
+            z = jnp.where(stopped, (i_stop >> lc.k_max) << k_end, 0)
+
+            # refine / escape
+            msb = jnp.zeros((lanes,), jnp.int32)
+            for l in range(L_R):
+                if l < zcodec3.N_REFINE:
+                    kk = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
+                    act_r = ((k_end - 1 - l) >= 0) & stopped
+                    p_ad = _gather_refine(rprob, stop_row, kk, msb)
+                else:
+                    act_r = jnp.zeros((lanes,), bool)
+                    p_ad = jnp.full((lanes,), rans_bin.BYPASS_P1, jnp.int32)
+                p1 = jnp.where(escaped, rans_bin.BYPASS_P1, p_ad)
+                b, states, ptrs = code_bin(
+                    states, ptrs, L_U + l, p1, act_r | escaped, i, j
+                )
+                kkc = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
+                z = jnp.where(act_r, z + (b << kkc), z)
+                z = jnp.where(
+                    escaped, z + (b << (zcodec3.ESCAPE_BITS - 1 - l)), z
+                )
+                msb = jnp.where(act_r & (b == 1) & (msb == 0), 1, msb)
+
+            # pixel reconstruction
+            zc = jnp.clip(z, 0, coder3.N_MAP - 1)
+            per_key = jnp.take_along_axis(
+                order_l, key[:, None, None], axis=1
+            )[:, 0]
+            y_small = jnp.take_along_axis(per_key, zc[:, None], axis=1)[:, 0]
+            y = jnp.where(z < coder3.N_MAP, y_small, z)
+            x = ctx_ops.residual_unfold(y, pxc, sign, 0)
+            err2 = jnp.clip(x - px0, -MAX_PX_INC, MAX_PX_INC)
+
+            # AVP update (s_curr proxy = simple-predictor error)
+            s_curr = jnp.abs(x - px_s).astype(jnp.int64) << pavp.FB1
+            s_sum = stats[0] + pavp.tdiv(
+                s_curr * pavp.BETA, jnp.int64(pavp.BETA - 1)
+            )
+            contrib = pavp.contributions(
+                x.astype(jnp.int64), feats, s_curr, s_sum, n
+            )
+            b_col = b_row[:, :, j]
+            b_col = pavp.tdiv(b_col * (ab - 1) + (ab >> 1), ab) + contrib
+            e_acc = pavp.tdiv(e_acc * (ab - 1) + (ab >> 1), ab) + b_col
+            b_row = jax.lax.dynamic_update_slice_in_dim(
+                b_row, b_col[:, :, None], j, 2
+            )
+
+            row_px = row_px.at[:, j].set(x)
+            regs = slide_window(regs, x, i, j, prev1, prev2, w)
+            return (
+                (regs, err2, row_px, e_acc, b_row, states, ptrs),
+                (x, y, qu, qv, qw, key),
+            )
+
+        row0 = jnp.zeros((lanes, w), jnp.int32)
+        e0 = jnp.zeros((m, lanes), jnp.int64)
+        (_, _, row_px, _, b_row, states, ptrs), cols = jax.lax.scan(
+            col_body,
+            (regs0, jnp.zeros((lanes,), jnp.int32), row0, e0, b_row,
+             states, ptrs),
+            jnp.arange(w, dtype=jnp.int32),
+        )
+        _, y_r, qu_r, qv_r, qw_r, key_r = [
+            jnp.moveaxis(v, 0, 1) for v in cols
+        ]
+        # replay the adaptive-state transition exactly as the encoder
+        _, (utab, rtab, mhist) = _row_code(
+            utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r
+        )
+        return (
+            (row_px, prev1, b_row, utab, rtab, mhist, states, ptrs),
+            row_px,
+        )
+
+    init = (
+        jnp.zeros((lanes, w), jnp.int32),
+        jnp.zeros((lanes, w), jnp.int32),
+        jnp.zeros((m, lanes, w), jnp.int64),
+        coder3.init_unary(lanes, n_class),
+        coder3.init_refine(lanes),
+        coder3.init_mapper(n_imgs),
+        state0,
+        ptr0,
+    )
+    _, rows = jax.lax.scan(row_body, init, jnp.arange(th, dtype=jnp.int32))
+    return jnp.moveaxis(rows, 0, 1)  # (lanes, th, w)
+
+
+def _gather_prob(uprob, row, cls: int):
+    t = uprob[:, :, cls]
+    return jnp.take_along_axis(t, row[:, None], axis=1)[:, 0]
+
+
+def _gather_refine(rprob, row, kk, msb):
+    t = jnp.take_along_axis(rprob, row[:, None, None, None], axis=1)[:, 0]
+    t = jnp.take_along_axis(t, kk[:, None, None], axis=1)[:, 0]
+    return jnp.take_along_axis(t, msb[:, None], axis=1)[:, 0]
+
+
+_decode_jit = jax.jit(_decode_scan, static_argnums=(2, 3, 4, 5))
+
+
+def _parse(stream: bytes):
+    hdr = NbtcHeader.from_bytes(stream)
+    if hdr.profile != PROFILE:
+        raise ValueError(f"not a profile-3 container: profile {hdr.profile}")
+    check_size(hdr.height, hdr.width)
+    pos = NbtcHeader.SIZE
+    bias = np.frombuffer(
+        zlib.decompress(stream[pos : pos + hdr.bias_len]), dtype=np.int16
+    ).astype(np.int32)
+    pos += hdr.bias_len
+    n_states = hdr.n_tiles * N_PHASE
+    lengths = np.frombuffer(
+        stream[pos : pos + 4 * n_states], dtype="<u4"
+    ).astype(np.int64)
+    pos += 4 * n_states
+    payload = np.frombuffer(stream, dtype=np.uint16, offset=pos)
+    geom = (hdr.height, hdr.width, hdr.n_tiles, hdr.tile_h, bool(hdr.tile_w))
+    return geom, bias, lengths, payload
+
+
+def decode(stream: bytes) -> np.ndarray:
+    return decode_batch([stream])[0]
+
+
+def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
+    """Decode same-geometry profile-3 containers in one device program."""
+    if not streams:
+        return []
+    parsed = [_parse(x) for x in streams]
+    geom = parsed[0][0]
+    if any(p[0] != geom for p in parsed[1:]):
+        return [decode(x) for x in streams]
+    h0, w0, s, th, transposed = geom
+    hh, ww = (w0, h0) if transposed else (h0, w0)
+    n_imgs = len(streams)
+    wmax = max(2, max(int(p[2].max()) for p in parsed))
+    wmax = -(-wmax // 64) * 64
+    smat = np.concatenate(
+        [rans.pad_streams(p[3], p[2], wmax) for p in parsed]
+    ).astype(np.int32)
+    bias = np.stack([p[1] for p in parsed]).astype(np.int32)
+    with jax.enable_x64():
+        px = np.asarray(
+            _decode_jit(
+                jnp.asarray(smat.reshape(n_imgs * s, N_PHASE, wmax)),
+                jnp.asarray(bias),
+                th, ww, s, n_imgs,
+            )
+        )
+    out = []
+    for b in range(n_imgs):
+        plane = px[b * s : (b + 1) * s].reshape(s * th, ww)[:hh]
+        out.append(
+            np.asarray(plane.T if transposed else plane, np.uint8, order="C")
+        )
+    return out

@@ -93,45 +93,59 @@ def f_chain(b_prev, first_beta: bool = True):
 def solve_batch(a, b, n: int):
     """int64 Gaussian elimination, pixel axis LAST.  a: (n, n, P), b: (n, P).
 
-    Matches AVPsolveAxb (NBLIC.c:112-161): partial pivoting by |A[i,k]|,
-    C-truncating quotients of full products.  Returns (diag, x_num, ok)
-    where the solution component k is x_num[k]/diag[k].
+    Matches AVPsolveAxb (NBLIC.c:112-161): partial pivoting by |A[i,k]|
+    (first max wins, like the C scan), C-truncating quotients of full
+    products.  Returns (diag, x_num, ok) where solution k = x_num[k]/diag[k].
+
+    The matrix lives as n*n separate (P,) registers — pure dataflow, no
+    in-place array updates — which keeps the unrolled graph XLA-friendly
+    (the .at[].set() form provoked pathological compile times on TPU).
     """
+    A = [[a[i, j] for j in range(n)] for i in range(n)]
+    bb = [b[i] for i in range(n)]
     ok = jnp.ones(a.shape[2], bool)
 
     for k in range(n - 1):
-        # pivot row: argmax |a[i,k]| over i >= k  (first max wins, like C)
-        col = jnp.stack([jnp.abs(a[i, k]) for i in range(n)])
-        mask = (jnp.arange(n) >= k)[:, None]
-        piv = jnp.argmax(jnp.where(mask, col, -1), axis=0)  # (P,)
+        # pivot selection: sequential strict-max scan over rows >= k
+        best = jnp.abs(A[k][k])
+        piv = jnp.full_like(best, k)
         for i in range(k + 1, n):
-            swap = piv == i
+            upd = jnp.abs(A[i][k]) > best
+            best = jnp.where(upd, jnp.abs(A[i][k]), best)
+            piv = jnp.where(upd, i, piv)
+        # swap row k with the pivot row (columns >= k, plus b)
+        newk = [A[k][j] for j in range(n)]
+        newb = bb[k]
+        for i in range(k + 1, n):
+            sw = piv == i
             for j in range(k, n):
-                ak, ai = a[k, j], a[i, j]
-                a = a.at[k, j].set(jnp.where(swap, ai, ak))
-                a = a.at[i, j].set(jnp.where(swap, ak, ai))
-            bk, bi = b[k], b[i]
-            b = b.at[k].set(jnp.where(swap, bi, bk))
-            b = b.at[i].set(jnp.where(swap, bk, bi))
-        akk = a[k, k]
+                newk[j] = jnp.where(sw, A[i][j], newk[j])
+                A[i][j] = jnp.where(sw, A[k][j], A[i][j])
+            newb = jnp.where(sw, bb[i], newb)
+            bb[i] = jnp.where(sw, bb[k], bb[i])
+        for j in range(k, n):
+            A[k][j] = newk[j]
+        bb[k] = newb
+
+        akk = A[k][k]
         ok &= akk != 0
         safe = jnp.where(akk == 0, 1, akk)
         for i in range(k + 1, n):
-            aik = a[i, k]
+            aik = A[i][k]
             for j in range(k + 1, n):
-                a = a.at[i, j].set(a[i, j] - tdiv(a[k, j] * aik, safe))
-            b = b.at[i].set(b[i] - tdiv(b[k] * aik, safe))
-            a = a.at[i, k].set(jnp.zeros_like(aik))
+                A[i][j] = A[i][j] - tdiv(A[k][j] * aik, safe)
+            bb[i] = bb[i] - tdiv(bb[k] * aik, safe)
+            A[i][k] = jnp.zeros_like(aik)
 
     for k in range(n - 1, 0, -1):
-        akk = a[k, k]
+        akk = A[k][k]
         ok &= akk != 0
         safe = jnp.where(akk == 0, 1, akk)
         for i in range(k):
-            b = b.at[i].set(b[i] - tdiv(b[k] * a[i, k], safe))
+            bb[i] = bb[i] - tdiv(bb[k] * A[i][k], safe)
 
-    diag = jnp.stack([a[k, k] for k in range(n)])
-    return diag, b, ok
+    diag = jnp.stack([A[k][k] for k in range(n)])
+    return diag, jnp.stack(bb), ok
 
 
 def predict_from_stats(stats, feats, n: int):

@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # tests are hermetic (the bench runs on the real chip separately).
 import jax
 
+# persistent compile cache: the profile-3 engine programs are large; cache
+# them across test runs (same cache the bench uses)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 _cpu = jax.devices("cpu")
 jax.config.update("jax_default_device", _cpu[0])
 
