@@ -107,6 +107,10 @@ def main(argv: list[str] | None = None) -> int:
         print(f"  input  file        = {src}")
         print(f"  output file        = {dst}")
 
+    if verbose >= 2 and opts["backend"] == "native" and not opts["tiled"]:
+        from . import runtime
+
+        runtime.set_verbose(verbose)
     t0 = time.time()
     try:
         if not opts["decompress"]:

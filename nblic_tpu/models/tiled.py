@@ -573,8 +573,9 @@ def encode(
 ) -> bytes:
     """Encode a gray-8 image into an NBTC container (device-parallel).
 
-    ``effort`` >= 2 selects profile 2: per-tile MXU least-squares predictors
-    (the TPU-native AVP redesign) raced against the blend predictor.
+    ``effort`` 2 selects profile 2 (per-tile MXU least-squares predictors
+    raced against the blend predictor); ``effort`` >= 3 selects profile 3
+    (the adaptive-coding strip engine, models/strips.py — best ratio).
     """
     if near == 0:
         return encode_batch(
@@ -689,9 +690,14 @@ def encode_batch(
     """
     if near != 0:
         return [
-            encode(im, near=near, tile_h=tile_h, tile_w=tile_w, effort=effort)
+            encode(im, near=near, tile_h=tile_h, tile_w=tile_w,
+                   effort=min(effort, 2))
             for im in imgs
         ]
+    if effort >= 3:
+        from . import strips
+
+        return strips.encode_batch(imgs)
     profile = 2 if effort >= 2 else 1
     imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
     h, w = imgs[0].shape
@@ -754,6 +760,10 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
     """Decode a batch of same-geometry NBTC containers in one device program."""
     if not streams:
         return []
+    if NbtcHeader.from_bytes(streams[0]).profile == 3:
+        from . import strips
+
+        return strips.decode_batch(streams)
     parsed = [_Parsed(s) for s in streams]
     h0 = parsed[0].hdr
     if any(
@@ -921,6 +931,10 @@ def _bucket(wmax: int) -> int:
 
 def decode(stream: bytes) -> np.ndarray:
     """Decode an NBTC container (tile-parallel lockstep scan on device)."""
+    if NbtcHeader.from_bytes(stream).profile == 3:
+        from . import strips
+
+        return strips.decode(stream)
     p = _Parsed(stream)
     hdr = p.hdr
     wmax = _bucket(int(p.counts.max()) if len(p.counts) else 2)

@@ -82,6 +82,8 @@ def load() -> ctypes.CDLL:
         lib.nbrt_n_stage1.argtypes = [u8p, i32, i32, u8p, i16p, i16p, i16p, i16p]
         lib.nbrt_version.restype = ctypes.c_char_p
         lib.nbrt_version.argtypes = []
+        lib.nbrt_set_verbose.restype = None
+        lib.nbrt_set_verbose.argtypes = [ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -241,3 +243,9 @@ def q_model(img: np.ndarray):
         )
     )
     return qd, y, hist
+
+
+def set_verbose(level: int) -> None:
+    """Enable the native runtime's -V row-progress reporting
+    (NBLIC.c:810-815 analog; prints to stderr during encode/decode)."""
+    load().nbrt_set_verbose(int(level))

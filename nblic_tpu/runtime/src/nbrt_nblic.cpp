@@ -7,6 +7,7 @@
 // split into small value-type components (range coder, bit-counter mixer,
 // escalating symbol coder, rank mapper, online least-squares predictor).
 
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
@@ -468,6 +469,11 @@ static bool params_ok(const Params& p) {
 // Shared encode/decode loop. On encode, img_in holds the source pixels and
 // img_rec receives the reconstruction (they may alias for in-place semantics —
 // the reference encodes in place, NBLIC.c:915-916). On decode, img_in is null.
+// -V progress reporting (analog of NBLIC.c:810-815): enabled per-process by
+// nbrt_set_verbose; prints an in-place row counter every 8 rows to stderr.
+static int g_verbose = 0;
+extern "C" void nbrt_set_verbose(int v) { g_verbose = v; }
+
 template <bool kDecode>
 static bool run_codec(const Params& p, const u8* img_in, u8* img_rec,
                       ByteSink* sink, ByteSource* source) {
@@ -492,6 +498,12 @@ static bool run_codec(const Params& p, const u8* img_in, u8* img_rec,
   const ImageView rec_view(img_rec, height, width);
 
   for (int i = 0; i < height; ++i) {
+    if (g_verbose >= 2 && (i & 0x7) == 0) {
+      std::fprintf(stderr, "\r    effort=%d, %s row %d (%.2f%%)", p.effort,
+                   kDecode ? "decoding" : "encoding", i,
+                   (100.0 * i) / height);
+      std::fflush(stderr);
+    }
     int prev_err = 0;
     if (use_lsq) lsq.start_row();
 
@@ -554,6 +566,8 @@ static bool run_codec(const Params& p, const u8* img_in, u8* img_rec,
     }
   }
 
+  if (g_verbose >= 2)
+    std::fprintf(stderr, "\r%64s\r", "");
   rc.flush();
   return !(sink && sink->overflowed());
 }
@@ -672,4 +686,4 @@ extern "C" int64_t nbrt_n_stage1(const uint8_t* img, int32_t height, int32_t wid
   return t;
 }
 
-extern "C" const char* nbrt_version(void) { return "nbrt-0.1.0"; }
+extern "C" const char* nbrt_version(void) { return "nbrt-0.2.0"; }

@@ -1,0 +1,68 @@
+"""Profile-3 strip engine: round-trip, batching, geometry, dispatch."""
+
+import numpy as np
+import pytest
+
+from nblic_tpu import api
+from nblic_tpu.models import strips, tiled
+from nblic_tpu.utils import imageio
+
+
+@pytest.fixture(scope="module")
+def kodak_crop():
+    img = imageio.load_image("/root/reference/img_kodak/05.bmp")
+    return img[:64, :96]
+
+
+def test_roundtrip_small(kodak_crop):
+    s = strips.encode(kodak_crop)
+    out = strips.decode(s)
+    assert np.array_equal(out, kodak_crop)
+
+
+def test_roundtrip_transposed(kodak_crop):
+    img = np.ascontiguousarray(kodak_crop.T)  # portrait
+    s = strips.encode(img)
+    out = strips.decode(s)
+    assert np.array_equal(out, img)
+
+
+def test_roundtrip_odd_height():
+    rng = np.random.default_rng(11)
+    # gradient + noise, 37 rows (padded to a strip multiple internally)
+    img = (
+        np.linspace(0, 255, 37 * 80).reshape(37, 80)
+        + rng.normal(0, 6, (37, 80))
+    ).clip(0, 255).astype(np.uint8)
+    s = strips.encode(img)
+    assert np.array_equal(strips.decode(s), img)
+
+
+def test_batch_matches_single(kodak_crop):
+    imgs = [kodak_crop, kodak_crop[::-1].copy()]
+    batch = strips.encode_batch(imgs)
+    singles = [strips.encode(im) for im in imgs]
+    assert batch == singles
+    outs = strips.decode_batch(batch)
+    for im, out in zip(imgs, outs):
+        assert np.array_equal(out, im)
+
+
+def test_two_strip_geometry(kodak_crop):
+    img = np.tile(kodak_crop, (3, 1))[:160]  # 160 rows -> multiple strips
+    s = strips.encode(img, th=64)
+    assert np.array_equal(strips.decode(s), img)
+
+
+def test_tiled_dispatch_effort3(kodak_crop):
+    s = tiled.encode(kodak_crop, effort=3)
+    assert np.array_equal(tiled.decode(s), kodak_crop)
+    # magic sniff path through the public API
+    assert np.array_equal(api.decompress(s), kodak_crop)
+
+
+def test_beats_profile1_on_natural_content():
+    img = imageio.load_image("/root/reference/img_kodak/05.bmp")[:128, :256]
+    s3 = strips.encode(img)
+    s1 = tiled.encode(img, effort=1)
+    assert len(s3) < len(s1)
