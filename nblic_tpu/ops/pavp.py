@@ -106,26 +106,34 @@ def solve_batch(a, b, n: int):
     ok = jnp.ones(a.shape[2], bool)
 
     for k in range(n - 1):
-        # pivot selection: sequential strict-max scan over rows >= k
-        best = jnp.abs(A[k][k])
-        piv = jnp.full_like(best, k)
+        # pivot: first row index with max |A[i,k]| over i >= k (argmax
+        # returns the first maximum, matching the C strict-> scan)
+        col = jnp.stack([jnp.abs(A[i][k]) for i in range(n)])
+        piv = jnp.argmax(
+            jnp.where((jnp.arange(n) >= k)[:, None], col, -1), axis=0
+        ).astype(jnp.int32)
+        # swap rows k and piv as FLAT masked sums — nested where() chains
+        # trip XLA's select-sinking into exponential subtree duplication
+        # (measured: 7570 divides in the optimized HLO from ~25 in source)
+        sel = [(piv == i) for i in range(n)]
+        selz = [s.astype(jnp.int64) for s in sel]
+
+        def pick(vals):
+            acc = vals[k] * selz[k]
+            for i in range(k + 1, n):
+                acc = acc + vals[i] * selz[i]
+            return acc
+
+        rowk = [pick([A[i][j] for i in range(n)]) for j in range(k, n)]
+        bk = pick(bb)
         for i in range(k + 1, n):
-            upd = jnp.abs(A[i][k]) > best
-            best = jnp.where(upd, jnp.abs(A[i][k]), best)
-            piv = jnp.where(upd, i, piv)
-        # swap row k with the pivot row (columns >= k, plus b)
-        newk = [A[k][j] for j in range(n)]
-        newb = bb[k]
-        for i in range(k + 1, n):
-            sw = piv == i
+            swi = selz[i]
             for j in range(k, n):
-                newk[j] = jnp.where(sw, A[i][j], newk[j])
-                A[i][j] = jnp.where(sw, A[k][j], A[i][j])
-            newb = jnp.where(sw, bb[i], newb)
-            bb[i] = jnp.where(sw, bb[k], bb[i])
+                A[i][j] = A[i][j] + (A[k][j] - A[i][j]) * swi
+            bb[i] = bb[i] + (bb[k] - bb[i]) * swi
         for j in range(k, n):
-            A[k][j] = newk[j]
-        bb[k] = newb
+            A[k][j] = rowk[j - k]
+        bb[k] = bk
 
         akk = A[k][k]
         ok &= akk != 0
@@ -136,6 +144,14 @@ def solve_batch(a, b, n: int):
                 A[i][j] = A[i][j] - tdiv(A[k][j] * aik, safe)
             bb[i] = bb[i] - tdiv(bb[k] * aik, safe)
             A[i][k] = jnp.zeros_like(aik)
+        # materialize each elimination level (defense in depth against
+        # cross-level recompute duplication)
+        flat = jax.lax.optimization_barrier(
+            [x for row in A for x in row] + bb + [ok]
+        )
+        A = [[flat[i * n + j] for j in range(n)] for i in range(n)]
+        bb = list(flat[n * n : n * n + n])
+        ok = flat[-1]
 
     for k in range(n - 1, 0, -1):
         akk = A[k][k]
@@ -143,9 +159,37 @@ def solve_batch(a, b, n: int):
         safe = jnp.where(akk == 0, 1, akk)
         for i in range(k):
             bb[i] = bb[i] - tdiv(bb[k] * A[i][k], safe)
+        bb = list(jax.lax.optimization_barrier(bb))
 
     diag = jnp.stack([A[k][k] for k in range(n)])
     return diag, jnp.stack(bb), ok
+
+
+SOLVE_CHUNK = 4096
+
+
+def predict_chunked(stats, feats, n: int):
+    """predict_from_stats via lax.map over fixed-size pixel chunks.
+
+    XLA's compile time for the unrolled solve grows superlinearly with the
+    batch extent; mapping over SOLVE_CHUNK-wide chunks compiles the body
+    once at a known-cheap shape (runtime cost of the chunking is nil — the
+    solve is a tiny fraction of the encode).
+    """
+    m, p = stats.shape
+    pad = (-p) % SOLVE_CHUNK
+    stats_p = jnp.pad(stats, ((0, 0), (0, pad)))
+    feats_p = jnp.pad(feats, ((0, 0), (0, pad)))
+    nc = stats_p.shape[1] // SOLVE_CHUNK
+    stats_c = stats_p.reshape(m, nc, SOLVE_CHUNK).transpose(1, 0, 2)
+    feats_c = feats_p.reshape(n, nc, SOLVE_CHUNK).transpose(1, 0, 2)
+
+    def body(args):
+        s, f = args
+        return predict_from_stats(s, f, n)
+
+    px, ok = jax.lax.map(body, (stats_c, feats_c))
+    return px.reshape(-1)[:p], ok.reshape(-1)[:p]
 
 
 def predict_from_stats(stats, feats, n: int):
@@ -225,7 +269,7 @@ def predict_plane(strips, n: int = N_FEAT):
     stats_flat = jnp.concatenate(
         [ef0.reshape(1, -1), stats.reshape(n + n * n, -1)]
     )
-    px_f, ok = predict_from_stats(stats_flat, feats.reshape(n, -1), n)
+    px_f, ok = predict_chunked(stats_flat, feats.reshape(n, -1), n)
     px0 = ((px_f + (1 << (FB1 - 1))) >> FB1).astype(jnp.int32).reshape(s, h, w)
     return jnp.where(ok.reshape(s, h, w), px0, px_s)
 
