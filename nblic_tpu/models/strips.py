@@ -506,11 +506,17 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
     if not streams:
         return []
     parsed = [_parse(x) for x in streams]
-    geom = parsed[0][0]
-    if any(p[0] != geom for p in parsed[1:]):
+
+    def plane_geom(g):
+        h0, w0, s, th, transposed = g
+        hh, ww = (w0, h0) if transposed else (h0, w0)
+        return (s, th, ww)
+
+    # images of either orientation share the encoded-plane geometry (the
+    # encoder transposes portraits); only the output crop/transpose differs
+    if any(plane_geom(p[0]) != plane_geom(parsed[0][0]) for p in parsed[1:]):
         return [decode(x) for x in streams]
-    h0, w0, s, th, transposed = geom
-    hh, ww = (w0, h0) if transposed else (h0, w0)
+    s, th, ww = plane_geom(parsed[0][0])
     n_imgs = len(streams)
     wmax = max(2, max(int(p[2].max()) for p in parsed))
     wmax = -(-wmax // 64) * 64
@@ -528,6 +534,8 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
         )
     out = []
     for b in range(n_imgs):
+        h0, w0, _, _, transposed = parsed[b][0]
+        hh = w0 if transposed else h0
         plane = px[b * s : (b + 1) * s].reshape(s * th, ww)[:hh]
         out.append(
             np.asarray(plane.T if transposed else plane, np.uint8, order="C")

@@ -165,17 +165,33 @@ def solve_batch(a, b, n: int):
     return diag, jnp.stack(bb), ok
 
 
-SOLVE_CHUNK = 4096
+def _solve_chunk() -> int:
+    """Pixels per solve chunk: big enough to keep the device busy, small
+    enough that XLA's compile stays flat across image sizes."""
+    import os
+
+    env = os.environ.get("NBLIC_SOLVE_CHUNK")
+    if env:
+        return int(env)
+    dd = jax.config.jax_default_device  # tests pin this to CPU
+    if dd is not None:
+        return 131072 if getattr(dd, "platform", None) == "tpu" else 4096
+    try:
+        tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        tpu = False
+    return 131072 if tpu else 4096
 
 
 def predict_chunked(stats, feats, n: int):
     """predict_from_stats via lax.map over fixed-size pixel chunks.
 
     XLA's compile time for the unrolled solve grows superlinearly with the
-    batch extent; mapping over SOLVE_CHUNK-wide chunks compiles the body
-    once at a known-cheap shape (runtime cost of the chunking is nil — the
-    solve is a tiny fraction of the encode).
+    batch extent; mapping over fixed chunks compiles the body once at a
+    known-cheap shape (runtime cost of the chunking is nil — the solve is
+    a tiny fraction of the encode).
     """
+    SOLVE_CHUNK = _solve_chunk()
     m, p = stats.shape
     pad = (-p) % SOLVE_CHUNK
     stats_p = jnp.pad(stats, ((0, 0), (0, pad)))
