@@ -149,7 +149,8 @@ def _gather_tables(y, qd, hist_n, acc):
 G_LANES = 128
 
 
-def _finish_encode_device(y, qd, bias):
+def _finish_encode_device(y, qd, bias, g_lanes: int = G_LANES,
+                          hist_in=None, valid=None):
     """Histogram build/normalize + rANS fold + interleaved group packing.
 
     Shared tail of the lossless and near-lossless encoders.  Returns one
@@ -158,23 +159,34 @@ def _finish_encode_device(y, qd, bias):
         group payloads (n_groups * cap_g/2 packed u16 pairs) ]
     so the host does exactly one upload and one fetch per batch — the
     device<->host link is the scarce resource under the TPU tunnel.
+
+    ``g_lanes`` sets the interleave-group width (the container records it);
+    the SPMD path passes its per-shard tile count so groups stay
+    shard-local.  ``hist_in`` lets that path supply psum'd histograms.
     """
     t = y.shape[0]
-    hist = ctx_ops.pair_segment_sum(
-        qd.reshape(-1) * N_SYM + y.reshape(-1), None, N_QD * N_SYM
-    ).reshape(N_QD, N_SYM)
+    if hist_in is None:
+        hist = ctx_ops.pair_segment_sum(
+            qd.reshape(-1) * N_SYM + y.reshape(-1), None, N_QD * N_SYM
+        ).reshape(N_QD, N_SYM)
+    else:
+        hist = hist_in
     hist_n = jax.vmap(_norm_hist_dev)(hist)
     acc = jnp.cumsum(hist_n.reshape(-1)).reshape(N_QD, N_SYM) - hist_n
     acc = acc - (jnp.arange(N_QD, dtype=jnp.int32) * NORM_SUM)[:, None]
     freq, facc = _gather_tables(y, qd, hist_n, acc)
     freq = freq.reshape(t, -1)
     facc = facc.reshape(t, -1)
+    if valid is not None:
+        # mesh padding lanes become identity symbols (decoded as inactive)
+        freq = jnp.where(valid[:, None], freq, jnp.uint32(NORM_SUM))
+        facc = jnp.where(valid[:, None], facc, jnp.uint32(0))
     l = freq.shape[1]
 
     # pad the lane count to the group width with identity symbols
     # (freq == 2^15 encodes nothing and never renormalizes)
-    n_groups = -(-t // G_LANES)
-    t_pad = n_groups * G_LANES
+    n_groups = -(-t // g_lanes)
+    t_pad = n_groups * g_lanes
     if t_pad > t:
         freq = jnp.concatenate(
             [freq, jnp.full((t_pad - t, l), NORM_SUM, freq.dtype)]
@@ -183,9 +195,9 @@ def _finish_encode_device(y, qd, bias):
 
     words, emits, state = rans.encode_scan(freq, facc)
     flats, totals = jax.vmap(rans.interleave_pack)(
-        words.reshape(n_groups, G_LANES, l),
-        emits.reshape(n_groups, G_LANES, l),
-        state.reshape(n_groups, G_LANES),
+        words.reshape(n_groups, g_lanes, l),
+        emits.reshape(n_groups, g_lanes, l),
+        state.reshape(n_groups, g_lanes),
     )
     flat32 = flats[:, 0::2] | (flats[:, 1::2] << 16)
     return jnp.concatenate(
@@ -605,11 +617,15 @@ def encode(
 
 
 def _unpack_containers(packed, n_imgs, n_tiles, h, w, tile_h, tile_w, near,
-                       profile: int = 1):
-    """Split the fetched device buffer(s) into NBTC containers."""
+                       profile: int = 1, g_lanes: int = G_LANES,
+                       t_packed: int | None = None):
+    """Split the fetched device buffer(s) into NBTC containers.
+
+    ``g_lanes``/``t_packed`` override the interleave-group geometry for the
+    SPMD mesh encoder (one group per tile shard)."""
     l = tile_h * tile_w
-    n_groups = -(-n_tiles // G_LANES)
-    cap32 = G_LANES * (l + 2) // 2
+    n_groups = -(-(t_packed or n_tiles) // g_lanes)
+    cap32 = g_lanes * (l + 2) // 2
     out = []
     for b in range(n_imgs):
         pos = 0
@@ -655,7 +671,7 @@ def _unpack_containers(packed, n_imgs, n_tiles, h, w, tile_h, tile_w, near,
         bias_bytes += b"\x00" * (len(bias_bytes) & 1)  # keep u16 aligned
         hist_bytes = _serialize_hists(hist_n)
         meta = np.asarray(
-            [G_LANES, n_groups] + [2 * int(t) for t in totals], dtype=np.uint32
+            [g_lanes, n_groups] + [2 * int(t) for t in totals], dtype=np.uint32
         ).tobytes()
         header = NbtcHeader(
             profile=profile,
