@@ -153,10 +153,9 @@ def _model_planes(strips):
     return y, qu, qv, qw, key, bias_tab
 
 
-def _encode_impl(strips):
-    """Profile-3 encode of one image: (S, TH, W) u8 -> (lengths+bias, flat)."""
-    s, th, w = strips.shape
-    y, qu, qv, qw, key, bias_tab = _model_planes(strips)
+def _code_impl(y, qu, qv, qw, key, bias_tab):
+    """Row-scan coding + fold + pack for one image's modeled planes."""
+    s, th, w = y.shape
     n_class = 256 >> zcodec3.layer_consts(K_STEP).k_max
     img_of_lane = jnp.zeros((s,), jnp.int32)
 
@@ -188,8 +187,13 @@ def _encode_impl(strips):
     return meta, flat32
 
 
-_encode_jit = jax.jit(lambda s: _encode_impl(s))
-_encode_batch_jit = jax.jit(jax.vmap(_encode_impl))
+# the encode runs as two device programs (modeling | coding): each compiles
+# in minutes rather than the single fused program's hours on the remote
+# TPU compiler, and both cache independently
+_model_jit = jax.jit(_model_planes)
+_model_batch_jit = jax.jit(jax.vmap(_model_planes))
+_code_jit = jax.jit(_code_impl)
+_code_batch_jit = jax.jit(jax.vmap(_code_impl))
 
 
 def _to_strips(img: np.ndarray, th: int) -> np.ndarray:
@@ -245,10 +249,12 @@ def encode_batch(imgs, th: int = TH_DEFAULT) -> list[bytes]:
     s = strips.shape[1]
     with jax.enable_x64():
         if len(imgs) == 1:
-            meta_d, flat_d = _encode_jit(jnp.asarray(strips[0]))
+            planes = _model_jit(jnp.asarray(strips[0]))
+            meta_d, flat_d = _code_jit(*planes)
             metas, flats = meta_d[None], flat_d[None]
         else:
-            metas, flats = _encode_batch_jit(jnp.asarray(strips))
+            planes = _model_batch_jit(jnp.asarray(strips))
+            metas, flats = _code_batch_jit(*planes)
         metas = np.asarray(metas)
         n_states = s * N_PHASE
         totals = [
