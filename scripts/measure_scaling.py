@@ -1,0 +1,119 @@
+"""Multi-chip scaling measurement on the virtual CPU mesh.
+
+Measures the full-program SPMD encode (parallel/mesh.py) at mesh sizes
+1/2/4/8 and reports per-device FLOPs and memory traffic from XLA's cost
+analysis of the *compiled sharded program* — the honest scalability signal
+available without N physical chips (all virtual devices share this host's
+cores, so wall-clock on the virtual mesh measures contention, not ICI).
+
+Parallel efficiency here = cost(1 device) / (N * cost_per_device(N)).
+The encode is data/tile-parallel with two psum'd 3 KB tables per image, so
+the expected efficiency is ~1 minus the (tiny) collective share; the real
+hardware check is chip-count scaling of the same program under pjit.
+
+Writes SCALING_r2.json at the repo root.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+from nblic_tpu.models import tiled
+from nblic_tpu.parallel import mesh as pmesh
+from nblic_tpu.utils import imageio
+
+
+def main() -> int:
+    img = imageio.load_image("/root/reference/img_kodak/05.bmp")
+    imgs = [img, img[::-1].copy(), img[:, ::-1].copy(), img[::-1, ::-1].copy()]
+    tiles = np.stack([tiled.to_tiles(im, 64, 64) for im in imgs])
+    t_real = tiles.shape[1]
+
+    results = {}
+    base_flops = None
+    for n_dev in (1, 2, 4, 8):
+        n_data = 2 if n_dev >= 2 else 1
+        n_tiles = n_dev // n_data
+        mesh = pmesh.make_mesh2(
+            n_data, n_tiles, devices=jax.devices("cpu")[:n_dev]
+        )
+        tt = np.stack([pmesh.pad_to_multiple(t, n_tiles) for t in tiles])
+        fn, g = pmesh.sharded_encode_batch(mesh, tt.shape[1], len(imgs), t_real)
+        arr = jax.device_put(
+            jnp.asarray(tt),
+            NamedSharding(mesh, P("data", "tiles", None, None)),
+        )
+        lowered = fn.lower(arr)
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # older jax returns one dict per device
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_ = float(cost.get("bytes accessed", 0.0))
+        # warm + time (virtual devices share the host cores: wall-clock is
+        # a contention measure, recorded for completeness only)
+        out = jax.block_until_ready(compiled(arr))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = jax.block_until_ready(compiled(arr))
+        wall = (time.perf_counter() - t0) / 3
+        if base_flops is None:
+            base_flops = flops
+        eff = base_flops / (n_dev * flops) if flops else 0.0
+        results[str(n_dev)] = {
+            "mesh": f"{n_data}x{n_tiles}",
+            "per_device_flops": flops,
+            "per_device_bytes": bytes_,
+            "parallel_efficiency_flops": round(eff, 4),
+            "wall_s_virtual": round(wall, 3),
+        }
+        print(
+            f"{n_dev} dev ({n_data}x{n_tiles}): {flops:.3e} flops/dev, "
+            f"eff={eff:.3f}, wall={wall:.2f}s (virtual)"
+        )
+
+    # correctness at the largest mesh
+    streams = pmesh.encode_batch_mesh(imgs, pmesh.make_mesh2(
+        2, 4, devices=jax.devices("cpu")[:8]))
+    ok = all(
+        np.array_equal(tiled.decode(s), im) for s, im in zip(streams, imgs)
+    )
+    out = {
+        "what": "full-program SPMD encode (data x tiles mesh), Kodak 768x512 x4",
+        "note": (
+            "per-device FLOPs from XLA cost analysis of the compiled sharded "
+            "program; virtual CPU devices share 4 host cores so wall-clock "
+            "reflects contention, not interconnect"
+        ),
+        "target": ">=80% parallel efficiency (BASELINE.md)",
+        "roundtrip_ok_8dev": bool(ok),
+        "by_devices": results,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING_r2.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote", path, "roundtrip_ok:", ok)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
