@@ -78,7 +78,8 @@ def main() -> int:
                 f"psnr {np.mean(psnrs):6.2f} dB  ({dt:5.1f}s)"
             )
         if args.tiled:
-            for eff in (1, 2):
+            # profile 3 (effort 3) is lossless-only
+            for eff in (1, 2, 3) if near == 0 else (1, 2):
                 total = 0
                 ok = True
                 psnrs = []

@@ -127,3 +127,75 @@ def test_predict_plane_runs_and_beats_simple():
     x = img[None].astype(np.int64)
     # AVP must reduce mean absolute prediction error on natural content
     assert np.abs(x - px0).mean() < np.abs(x - px_s).mean()
+
+
+def _wrap64(v: int) -> int:
+    return (v + 2**63) % 2**64 - 2**63
+
+
+def _tdiv_scalar(p: int, q: int) -> int:
+    if q == 0:
+        return 0
+    s = -1 if (p < 0) != (q < 0) else 1
+    return _wrap64(s * (abs(p) // abs(q)))
+
+
+def _scalar_solve(a, b, n):
+    """Scalar replay of AVPsolveAxb semantics (NBLIC.c:112-161) with int64
+    WRAPPING on every product/difference — the device arithmetic model."""
+    A = [[int(a[i, j]) for j in range(n)] for i in range(n)]
+    bb = [int(b[i]) for i in range(n)]
+    ok = True
+    for k in range(n - 1):
+        piv, best = k, -1
+        for i in range(k, n):
+            if abs(A[i][k]) > best:
+                best, piv = abs(A[i][k]), i
+        if piv != k:
+            A[k], A[piv] = A[piv], A[k]
+            bb[k], bb[piv] = bb[piv], bb[k]
+        akk = A[k][k]
+        if akk == 0:
+            ok = False
+            akk = 1
+        for i in range(k + 1, n):
+            aik = A[i][k]
+            for j in range(k + 1, n):
+                A[i][j] = _wrap64(A[i][j] - _tdiv_scalar(_wrap64(A[k][j] * aik), akk))
+            bb[i] = _wrap64(bb[i] - _tdiv_scalar(_wrap64(bb[k] * aik), akk))
+            A[i][k] = 0
+    for k in range(n - 1, 0, -1):
+        akk = A[k][k]
+        if akk == 0:
+            ok = False
+            akk = 1
+        for i in range(k):
+            bb[i] = _wrap64(bb[i] - _tdiv_scalar(_wrap64(bb[k] * A[i][k]), akk))
+    return (
+        np.array([A[i][i] for i in range(n)], np.int64),
+        np.array(bb, np.int64),
+        ok,
+    )
+
+
+def test_solve_batch_matches_scalar_oracle():
+    """solve_batch (level-batched divides) == scalar Gaussian elimination,
+    including singular and rank-deficient systems."""
+    from nblic_tpu.ops import pavp
+
+    rng = np.random.default_rng(3)
+    n, p = 6, 96
+    a_np = rng.integers(-(2**40), 2**40, size=(n, n, p))
+    a_np[:, :, :8] = 0                      # singular block
+    a_np[2, :, 8:16] = a_np[3, :, 8:16]     # rank-deficient block
+    b_np = rng.integers(-(2**45), 2**45, size=(n, p))
+    with jax.enable_x64():
+        d1, x1, ok1 = jax.jit(pavp.solve_batch, static_argnums=2)(
+            jnp.asarray(a_np, jnp.int64), jnp.asarray(b_np, jnp.int64), n
+        )
+    d1, x1, ok1 = np.asarray(d1), np.asarray(x1), np.asarray(ok1)
+    for pi in range(p):
+        d2, x2, ok2 = _scalar_solve(a_np[:, :, pi], b_np[:, pi], n)
+        np.testing.assert_array_equal(d1[:, pi], d2)
+        np.testing.assert_array_equal(x1[:, pi], x2)
+        assert bool(ok1[pi]) == ok2

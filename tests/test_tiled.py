@@ -28,9 +28,11 @@ class TestLossless:
         dec = tiled.decode(stream)
         np.testing.assert_array_equal(dec, kodak01)
         bpp = 8.0 * len(stream) / kodak01.size
-        # reference e0 achieves ~4.84 bpp on kodak 01; NBTC with tile-border
-        # costs and static bias must stay in the same class
-        assert bpp < 5.5, f"bpp regressed: {bpp:.3f}"
+        # ratchet: profile 1 measures 5.306 bpp on kodak 01 (a hard, textured
+        # frame — reference e0 gets ~4.84 on it; the corpus means are 4.32 vs
+        # 4.23).  Anything past 5.35 is a real compression regression; the
+        # flagship bits number is profile 3 (tests/test_strips.py).
+        assert bpp < 5.35, f"bpp regressed: {bpp:.3f}"
 
     def test_api_dispatch(self, kodak01):
         stream = api.compress_tiled(kodak01)
