@@ -90,6 +90,33 @@ def f_chain(b_prev, first_beta: bool = True):
     return out[::-1]
 
 
+def _is_tpu() -> bool:
+    """Trace-time platform guess (same heuristic as _solve_chunk)."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", None) == "tpu"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
+def _level_barrier(vals):
+    """Materialize an elimination level — except on TPU.
+
+    On CPU the barrier keeps XLA from duplicating whole elimination levels
+    into each consumer (3x compile/runtime measured without it).  On TPU the
+    barrier must be OMITTED: XLA:TPU miscompiles int64 optimization_barrier
+    inside lax.map/scan bodies (predictions silently diverge from the
+    identical body run standalone; measured on this platform).  The TPU
+    compile blowup the barrier once guarded against is already cured by the
+    flat masked-sum pivot swap and the level-batched divides.
+    """
+    if _is_tpu():
+        return vals
+    return jax.lax.optimization_barrier(vals)
+
+
 def solve_batch(a, b, n: int):
     """int64 Gaussian elimination, pixel axis LAST.  a: (n, n, P), b: (n, P).
 
@@ -156,11 +183,7 @@ def solve_batch(a, b, n: int):
                 A[i][j] = A[i][j] - quo[idx * w_k + jdx]
             bb[i] = bb[i] - quo[w_k * w_k + idx]
             A[i][k] = jnp.zeros_like(akk)
-        # materialize each elimination level (defense in depth against
-        # cross-level recompute duplication)
-        flat = jax.lax.optimization_barrier(
-            [x for row in A for x in row] + bb + [ok]
-        )
+        flat = _level_barrier([x for row in A for x in row] + bb + [ok])
         A = [[flat[i * n + j] for j in range(n)] for i in range(n)]
         bb = list(flat[n * n : n * n + n])
         ok = flat[-1]
@@ -174,7 +197,7 @@ def solve_batch(a, b, n: int):
         )
         for i in range(k):
             bb[i] = bb[i] - quo[i]
-        bb = list(jax.lax.optimization_barrier(bb))
+        bb = list(_level_barrier(bb))
 
     diag = jnp.stack([A[k][k] for k in range(n)])
     return diag, jnp.stack(bb), ok
