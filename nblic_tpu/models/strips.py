@@ -64,7 +64,7 @@ def _layer_prob_plane(tab_prob, row, cls: int):
     """(L, W) prob gather from (L, 16, C) at [lane, row, cls] via one-hot."""
     oh = jax.nn.one_hot(row, zcodec3.N_ROW, dtype=jnp.float32)
     t = tab_prob[:, :, cls].astype(jnp.float32)
-    return jnp.einsum("lwr,lr->lw", oh, t).astype(jnp.int32)
+    return jnp.einsum("lwr,lr->lw", oh, t, precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
 
 
 def _refine_prob_plane(rtab_prob, row_end, kk, msb):
@@ -73,10 +73,10 @@ def _refine_prob_plane(rtab_prob, row_end, kk, msb):
     ohk = jax.nn.one_hot(kk, zcodec3.N_REFINE, dtype=jnp.float32)
     p0 = jnp.einsum(
         "lwr,lwk,lrk->lw", ohr, ohk, rtab_prob[..., 0].astype(jnp.float32)
-    )
+    , precision=jax.lax.Precision.HIGHEST)
     p1 = jnp.einsum(
         "lwr,lwk,lrk->lw", ohr, ohk, rtab_prob[..., 1].astype(jnp.float32)
-    )
+    , precision=jax.lax.Precision.HIGHEST)
     return jnp.where(msb == 1, p1, p0).astype(jnp.int32)
 
 

@@ -105,7 +105,7 @@ def row_updates(utab, rtab, qw, unary, refine, row_end, k_end, k_step: int):
         c = lc.cls_vals[l]
         contrib = jnp.einsum(
             "lwr,lwx,lw->lrx", ohu, ohb, QW_MAX - qwf
-        ) + jnp.einsum("lwr,lwx,lw->lrx", ohv, ohb, qwf)
+        , precision=jax.lax.Precision.HIGHEST) + jnp.einsum("lwr,lwx,lw->lrx", ohv, ohb, qwf, precision=jax.lax.Precision.HIGHEST)
         du = du.at[:, :, c, :].add(contrib)
     utab = halve_pairs(utab + du.astype(jnp.int32), CNT_HALVE)
 
@@ -119,7 +119,7 @@ def row_updates(utab, rtab, qw, unary, refine, row_end, k_end, k_step: int):
         ohb = _oh(bit, 2)
         dr = dr + jnp.einsum(
             "lwr,lwk,lwm,lwx->lrkmx", ohr, ohk, ohm, ohb
-        )
+        , precision=jax.lax.Precision.HIGHEST)
     rtab = halve_pairs(rtab + dr.astype(jnp.int32), CNT_HALVE)
     return utab, rtab
 
@@ -130,7 +130,7 @@ def mapper_updates(mhist, img_of_lane, key, y):
     ohy = _oh(jnp.minimum(y, N_MAP - 1), N_MAP) * small[..., None]
     ohkey = _oh(key, MAP_KEYS)
     ohimg = _oh(img_of_lane, mhist.shape[0])
-    counts = jnp.einsum("lwk,lwy,lb->bky", ohkey, ohy, ohimg)
+    counts = jnp.einsum("lwk,lwy,lb->bky", ohkey, ohy, ohimg, precision=jax.lax.Precision.HIGHEST)
     mhist = mhist + MAP_BUMP * counts.astype(jnp.int32)
     over = jnp.max(mhist, axis=-1, keepdims=True) > MAP_HALVE
     return jnp.where(over, mhist >> 1, mhist)
@@ -141,8 +141,9 @@ def mapper_lookup(table, img_of_lane, key, val):
     t = jnp.einsum(
         "lb,bky->lky", _oh(img_of_lane, table.shape[0]),
         table.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     )
     ohkey = _oh(key, MAP_KEYS)
-    per_key = jnp.einsum("lwk,lky->lwy", ohkey, t)
+    per_key = jnp.einsum("lwk,lky->lwy", ohkey, t, precision=jax.lax.Precision.HIGHEST)
     ohv = _oh(jnp.minimum(val, N_MAP - 1), N_MAP)
     return jnp.sum(per_key * ohv, -1).astype(jnp.int32)
