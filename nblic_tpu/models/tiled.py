@@ -618,11 +618,15 @@ def encode(
 
 def _unpack_containers(packed, n_imgs, n_tiles, h, w, tile_h, tile_w, near,
                        profile: int = 1, g_lanes: int = G_LANES,
-                       t_packed: int | None = None):
+                       t_packed: int | None = None,
+                       transposed=None):
     """Split the fetched device buffer(s) into NBTC containers.
 
     ``g_lanes``/``t_packed`` override the interleave-group geometry for the
-    SPMD mesh encoder (one group per tile shard)."""
+    SPMD mesh encoder (one group per tile shard).  ``transposed`` is an
+    optional per-image bool sequence: images stored transposed get header
+    flag bit 0 and are transposed back by the decoder (orientation merging
+    lets both Kodak orientations share one device program)."""
     l = tile_h * tile_w
     n_groups = -(-(t_packed or n_tiles) // g_lanes)
     cap32 = g_lanes * (l + 2) // 2
@@ -683,6 +687,7 @@ def _unpack_containers(packed, n_imgs, n_tiles, h, w, tile_h, tile_w, near,
             n_tiles=n_tiles,
             bias_len=len(bias_bytes),
             hist_len=len(hist_bytes),
+            flags=int(bool(transposed[b])) if transposed is not None else 0,
         )
         out.append(
             header.to_bytes() + bias_bytes + weights_bytes + hist_bytes
@@ -697,6 +702,7 @@ def encode_batch(
     tile_h: int = DEFAULT_TILE[0],
     tile_w: int = DEFAULT_TILE[1],
     effort: int = 1,
+    transposed=None,
 ) -> list[bytes]:
     """Encode a batch of same-shape images in one device program.
 
@@ -731,14 +737,16 @@ def encode_batch(
     else:
         packed = np.asarray(_encode_device_batch(tiles))
     return _unpack_containers(
-        packed, len(imgs), n_tiles, h, w, tile_h, tile_w, 0, profile
+        packed, len(imgs), n_tiles, h, w, tile_h, tile_w, 0, profile,
+        transposed=transposed,
     )
 
 
 def encode_batches(image_groups, near: int = 0,
                    tile_h: int = DEFAULT_TILE[0],
                    tile_w: int = DEFAULT_TILE[1],
-                   effort: int = 1) -> list[list[bytes]]:
+                   effort: int = 1,
+                   transposed_groups=None) -> list[list[bytes]]:
     """Encode several same-shape batches, pipelining the device programs.
 
     Dispatch is asynchronous under the tunnel; issuing every group's program
@@ -752,7 +760,7 @@ def encode_batches(image_groups, near: int = 0,
         ]
     profile = 2 if effort >= 2 else 1
     dispatched = []
-    for imgs in image_groups:
+    for gi, imgs in enumerate(image_groups):
         imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
         h, w = imgs[0].shape
         check_size(h, w)
@@ -762,24 +770,92 @@ def encode_batches(image_groups, near: int = 0,
         fn = _encode_device2_batch if profile == 2 else _encode_device_batch
         dispatched.append((imgs, h, w, tiles.shape[1], fn(tiles)))
     out = []
-    for imgs, h, w, n_tiles, packed_dev in dispatched:
+    for gi, (imgs, h, w, n_tiles, packed_dev) in enumerate(dispatched):
         packed = np.asarray(packed_dev)
         out.append(
             _unpack_containers(
-                packed, len(imgs), n_tiles, h, w, tile_h, tile_w, 0, profile
+                packed, len(imgs), n_tiles, h, w, tile_h, tile_w, 0, profile,
+                transposed=(
+                    transposed_groups[gi] if transposed_groups else None
+                ),
             )
         )
     return out
 
 
+def encode_corpus(imgs, near: int = 0,
+                  tile_h: int = DEFAULT_TILE[0],
+                  tile_w: int = DEFAULT_TILE[1],
+                  effort: int = 1) -> list[bytes]:
+    """Encode arbitrary-shape images with orientation normalization.
+
+    Portrait images are transposed to landscape (header flag bit 0) so both
+    orientations of a corpus share one device-program shape — on Kodak this
+    halves the program count vs per-orientation batches.  Containers come
+    back in input order; ``decode``/``decode_batch`` undo the transpose.
+    """
+    if effort >= 3 and near == 0:
+        from . import strips
+
+        return strips.encode_batch(imgs)  # strips normalizes internally
+    if near != 0:
+        # near>0 encodes per image; orientation merging buys nothing there
+        return [
+            encode(im, near=near, tile_h=tile_h, tile_w=tile_w, effort=effort)
+            for im in imgs
+        ]
+    norm, flags = [], []
+    for im in imgs:
+        im = np.ascontiguousarray(im, dtype=np.uint8)
+        t = im.shape[0] > im.shape[1]
+        norm.append(np.ascontiguousarray(im.T) if t else im)
+        flags.append(t)
+    order: dict[tuple, list[int]] = {}
+    for i, im in enumerate(norm):
+        order.setdefault(im.shape, []).append(i)
+    idx_groups = list(order.values())
+    streams_by_group = encode_batches(
+        [[norm[i] for i in g] for g in idx_groups],
+        near=near, tile_h=tile_h, tile_w=tile_w, effort=effort,
+        transposed_groups=[[flags[i] for i in g] for g in idx_groups],
+    )
+    out: list[bytes] = [b""] * len(imgs)
+    for g, streams in zip(idx_groups, streams_by_group):
+        for i, s in zip(g, streams):
+            out[i] = s
+    return out
+
+
 def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
     """Decode a batch of same-geometry NBTC containers in one device program."""
+    work = _decode_batch_dispatch(streams)
+    return _decode_batch_finalize(work)
+
+
+def decode_batches(stream_groups) -> list[list[np.ndarray]]:
+    """Decode several batches, pipelining the device programs.
+
+    Mirror of ``encode_batches``: every group's decode program is dispatched
+    before the first pixel fetch, overlapping the tunnel's per-program
+    launch/transfer latency across groups.
+    """
+    work = [_decode_batch_dispatch(g) for g in stream_groups]
+    return [_decode_batch_finalize(w) for w in work]
+
+
+def _decode_batch_dispatch(streams: list[bytes]):
+    """Parse containers and launch the device decode; no fetch.
+
+    Returns an opaque work item for ``_decode_batch_finalize``.  Mixed
+    geometries and profile 3 fall back to eager paths (result is carried
+    as a finished list).
+    """
     if not streams:
-        return []
+        return ("done", [])
     if NbtcHeader.from_bytes(streams[0]).profile == 3:
         from . import strips
 
-        return strips.decode_batch(streams)
+        return ("done", strips.decode_batch(streams))
     parsed = [_Parsed(s) for s in streams]
     h0 = parsed[0].hdr
     if any(
@@ -788,7 +864,7 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
         != (h0.height, h0.width, h0.tile_h, h0.tile_w, h0.near, h0.profile)
         for p in parsed
     ):
-        return [decode(s) for s in streams]
+        return ("done", [decode(s) for s in streams])
 
     b = len(streams)
     wmax = _bucket(max(int(p.counts.max()) for p in parsed))
@@ -803,7 +879,7 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
             jnp.asarray(stream_mat), biases, hist_ns, accs, luts,
             h0.tile_h, h0.tile_w, h0.near,
         )
-        tiles_np = np.asarray(tiles, dtype=np.uint8)
+        return ("dev", parsed, h0, b, tiles, False)
     elif _use_pallas():
         from ..ops import pallas_decode
 
@@ -820,9 +896,7 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
             flat_streams, n_active, biases, hist_ns, accs, wcols,
             h0.tile_h, h0.tile_w, h0.near, parsed[0].group_size, h0.profile,
         )
-        tiles_np = np.asarray(tiles, dtype=np.uint8).reshape(
-            b, -1, h0.tile_h, h0.tile_w
-        )[:, : h0.n_tiles]
+        return ("dev", parsed, h0, b, tiles, True)
     else:
         n_active = jnp.asarray(np.stack([p.n_active() for p in parsed]))
         wcols = jnp.asarray(np.stack([p.weight_cols() for p in parsed]))
@@ -831,13 +905,29 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
             wcols, h0.tile_h, h0.tile_w, h0.near, parsed[0].group_size,
             h0.profile,
         )
-        tiles_np = np.asarray(tiles, dtype=np.uint8).reshape(
-            b, -1, h0.tile_h, h0.tile_w
-        )[:, : h0.n_tiles]
-    return [
-        from_tiles(tiles_np[bi], h0.height, h0.width, h0.tile_h, h0.tile_w)
-        for bi in range(b)
-    ]
+        return ("dev", parsed, h0, b, tiles, True)
+
+
+def _decode_batch_finalize(work) -> list[np.ndarray]:
+    """Fetch a dispatched decode and assemble host images."""
+    kind, *rest = work
+    if kind == "done":
+        return rest[0]
+    parsed, h0, b, tiles, regroup = rest
+    tiles_np = np.asarray(tiles, dtype=np.uint8)
+    if regroup:
+        tiles_np = tiles_np.reshape(b, -1, h0.tile_h, h0.tile_w)[
+            :, : h0.n_tiles
+        ]
+    out = []
+    for bi in range(b):
+        img = from_tiles(
+            tiles_np[bi], h0.height, h0.width, h0.tile_h, h0.tile_w
+        )
+        if parsed[bi].hdr.transposed:
+            img = np.ascontiguousarray(img.T)
+        out.append(img)
+    return out
 
 
 def _use_pallas() -> bool:
@@ -1000,6 +1090,7 @@ def decode(stream: bytes) -> np.ndarray:
             hdr.profile,
         )
         tiles = tiles.reshape(-1, hdr.tile_h, hdr.tile_w)[: hdr.n_tiles]
-    return from_tiles(
+    img = from_tiles(
         np.asarray(tiles, dtype=np.uint8), hdr.height, hdr.width, hdr.tile_h, hdr.tile_w
     )
+    return np.ascontiguousarray(img.T) if hdr.transposed else img

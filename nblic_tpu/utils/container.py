@@ -98,7 +98,8 @@ class NbtcHeader:
     """Header of the TPU-native tiled container.
 
     Layout (little-endian):
-      magic (8B) | version-reserved u16 | profile u8 | near u8 |
+      magic (8B) | flags u16 (bit 0: image stored transposed) | profile u8 |
+      near u8 |
       height u32 | width u32 | tile_h u16 | tile_w u16 |
       n_tiles u32 | bias_len u32 | hist_len u32 |
       then: bias_len bytes — zlib-compressed int16[3072] static context-bias
@@ -118,13 +119,18 @@ class NbtcHeader:
     n_tiles: int
     bias_len: int
     hist_len: int
+    flags: int = 0  # bit 0: pixel data is the TRANSPOSE of the source image
 
     SIZE = len(NBTC_MAGIC) + 2 + 1 + 1 + 4 + 4 + 2 + 2 + 4 + 4 + 4
+
+    @property
+    def transposed(self) -> bool:
+        return bool(self.flags & 1)
 
     def to_bytes(self) -> bytes:
         return NBTC_MAGIC + struct.pack(
             "<HBBIIHHIII",
-            0,
+            self.flags,
             self.profile,
             self.near,
             self.height,
@@ -142,10 +148,11 @@ class NbtcHeader:
             raise ValueError("not an NBTC stream")
         if len(data) < cls.SIZE:
             raise ValueError("truncated NBTC header")
-        (_, profile, near, height, width, tile_h, tile_w, n_tiles, bias_len,
-         hist_len) = struct.unpack_from("<HBBIIHHIII", data, len(NBTC_MAGIC))
+        (flags, profile, near, height, width, tile_h, tile_w, n_tiles,
+         bias_len, hist_len) = struct.unpack_from(
+            "<HBBIIHHIII", data, len(NBTC_MAGIC))
         return cls(profile, near, height, width, tile_h, tile_w, n_tiles,
-                   bias_len, hist_len)
+                   bias_len, hist_len, flags)
 
 
 def sniff_format(data: bytes) -> str:
