@@ -139,8 +139,8 @@ def main() -> int:
         parsed = [tiled._Parsed(s) for s in group_streams]
         wmax = tiled._bucket(max(int(q.counts.max()) for q in parsed))
         sm = jnp.asarray(
-            np.concatenate([q.stream_matrix(wmax) for q in parsed]).astype(
-                np.int32
+            np.concatenate(
+                [q.stream_matrix32((wmax + 1) // 2) for q in parsed]
             )
         )
         na = jnp.asarray(np.concatenate([q.n_active() for q in parsed]))

@@ -149,16 +149,15 @@ def _gather_tables(y, qd, hist_n, acc):
 G_LANES = 128
 
 
-def _finish_encode_device(y, qd, bias, g_lanes: int = G_LANES,
-                          hist_in=None, valid=None):
+def _finish_encode_parts(y, qd, bias, g_lanes: int = G_LANES,
+                         hist_in=None, valid=None):
     """Histogram build/normalize + rANS fold + interleaved group packing.
 
-    Shared tail of the lossless and near-lossless encoders.  Returns one
-    packed int32 buffer:
-      [ group totals (n_groups) | bias (3072) | hist_n (12*256) |
-        group payloads (n_groups * cap_g/2 packed u16 pairs) ]
-    so the host does exactly one upload and one fetch per batch — the
-    device<->host link is the scarce resource under the TPU tunnel.
+    Shared tail of the lossless and near-lossless encoders.  Returns
+    ``(totals, bias, hist_n, flat32)`` with ``flat32`` the (n_groups,
+    cap32) worst-case-capacity payload buffers (u16 word pairs packed in
+    int32) — the batch compactor gathers the live prefixes of these into
+    one small transfer buffer.
 
     ``g_lanes`` sets the interleave-group width (the container records it);
     the SPMD path passes its per-shard tile count so groups stay
@@ -200,6 +199,18 @@ def _finish_encode_device(y, qd, bias, g_lanes: int = G_LANES,
         state.reshape(n_groups, g_lanes),
     )
     flat32 = flats[:, 0::2] | (flats[:, 1::2] << 16)
+    return totals, bias, hist_n, flat32
+
+
+def _finish_encode_device(y, qd, bias, g_lanes: int = G_LANES,
+                          hist_in=None, valid=None):
+    """One packed int32 buffer per image (worst-case payload capacity):
+      [ group totals (n_groups) | bias (3072) | hist_n (12*256) |
+        group payloads (n_groups * cap_g/2 packed u16 pairs) ]
+    """
+    totals, bias, hist_n, flat32 = _finish_encode_parts(
+        y, qd, bias, g_lanes, hist_in, valid
+    )
     return jnp.concatenate(
         [totals, bias, hist_n.reshape(-1), flat32.reshape(-1)]
     )
@@ -288,6 +299,103 @@ _encode_device_batch = jax.jit(jax.vmap(_encode_device_impl))
 _encode_device2_batch = jax.jit(jax.vmap(_encode_device2_impl))
 _finish_encode_jit = jax.jit(_finish_encode_device)
 _encode_near2_jit = jax.jit(_encode_near2_impl, static_argnums=(1, 2, 3))
+
+# ---------------------------------------------------------------------------
+# compact batch encode: one small transfer buffer for the whole batch
+# ---------------------------------------------------------------------------
+
+# Per-group payload buffers are sized for the entropy-coder worst case
+# (16 bit/px), but natural images compress to ~4-6 bpp, so fetching the
+# full-capacity buffers moves ~4x more bytes than the containers hold —
+# and the host link is the scarce resource under the TPU tunnel.  The
+# compactor gathers every group's live payload prefix into ONE buffer
+# sized at a COMPACT_BPP batch average.  If a batch genuinely exceeds the
+# budget (adversarial noise), the host detects it from the exact totals
+# and re-fetches via the worst-case-capacity program.
+COMPACT_BPP = 6
+
+
+def _compact_cap32(n_imgs: int, n_tiles: int, l: int,
+                   g_lanes: int = G_LANES) -> int:
+    n_groups = -(-n_tiles // g_lanes)
+    payload_bits = COMPACT_BPP * n_imgs * n_tiles * l
+    head_bits = n_imgs * n_groups * 2 * g_lanes * 16  # rANS state flushes
+    return (payload_bits + head_bits + 31) // 32 + n_imgs * n_groups
+
+
+def _compact_payloads(flats32, totals, cap32: int):
+    """Gather the live prefix of every group's payload into one buffer.
+
+    flats32: (G, cap_full32) u16-pair buffers; totals: (G,) u16 counts.
+    Groups are laid out back to back at int32 (pair) granularity, so the
+    host can slice by the transmitted totals.  One linear gather (~25
+    ns/elem on this platform) of cap32 elements — far cheaper than
+    transferring the worst-case buffers.
+    """
+    g, cap_full = flats32.shape
+    words32 = (totals + 1) // 2
+    starts = jnp.cumsum(words32) - words32
+    p = jnp.arange(cap32, dtype=jnp.int32)
+    ends = (starts + words32).astype(jnp.int32)
+    # group of each output position: #{ends <= p} (a (cap32, G) compare-sum
+    # beats searchsorted's sequential binary search on TPU)
+    gidx = jnp.sum(
+        p[:, None] >= ends[None, :], axis=1, dtype=jnp.int32
+    )
+    gidx = jnp.minimum(gidx, g - 1)
+    src = gidx * cap_full + (p - starts[gidx])
+    compact = jnp.take(
+        flats32.reshape(-1), jnp.clip(src, 0, flats32.size - 1)
+    )
+    return compact
+
+
+def _encode_batch_compact_impl(tiles, profile: int, cap32: int):
+    """Whole-batch lossless encode with compacted payload transfer.
+
+    Returns one int32 buffer:
+      [ totals (B*n_groups) | bias (B*3072) | hist_n (B*3072) |
+        profile 2 only: w_q (B*T*N_FEAT) | flags (B*T) |
+        compact payload (cap32) ]
+    """
+    if profile == 2:
+        y, qd, bias, w_q, flags = jax.vmap(_model_lossless2_impl)(tiles)
+    else:
+        y, qd, bias, _ = jax.vmap(_model_lossless_impl)(tiles)
+    totals, bias_o, hist_n, flats32 = jax.vmap(_finish_encode_parts)(
+        y, qd, bias
+    )
+    b, n_groups, cap_full = flats32.shape
+    compact = _compact_payloads(
+        flats32.reshape(b * n_groups, cap_full),
+        totals.reshape(-1),
+        cap32,
+    )
+    parts = [totals.reshape(-1), bias_o.reshape(-1), hist_n.reshape(-1)]
+    if profile == 2:
+        parts += [w_q.reshape(-1), flags.reshape(-1)]
+    parts.append(compact)
+    return jnp.concatenate(parts)
+
+
+_encode_compact_jit = jax.jit(
+    _encode_batch_compact_impl, static_argnums=(1, 2)
+)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _encode_compact_imgs_jit(imgs, profile: int, cap32: int, th: int,
+                             tw: int):
+    """Compact batch encode from whole images, tiling on device.
+
+    Saves the host-side tile shuffle (and one host copy) when the image
+    divides the tile grid evenly; callers fall back to host ``to_tiles``
+    otherwise.
+    """
+    b, h, w = imgs.shape
+    t = imgs.reshape(b, h // th, th, w // tw, tw)
+    tiles = jnp.transpose(t, (0, 1, 3, 2, 4)).reshape(b, -1, th, tw)
+    return _encode_batch_compact_impl(tiles, profile, cap32)
 
 
 def _rans_fold_impl(y, qd, hist_n, acc):
@@ -661,38 +769,116 @@ def _unpack_containers(packed, n_imgs, n_tiles, h, w, tile_h, tile_w, near,
             pos += n_tiles * lsq_ops.N_FEAT
             flags = packed[b, pos : pos + n_tiles].astype(np.uint8)
             pos += n_tiles
-            # weights only for tiles that use the learned predictor
-            raw = zlib.compress(
-                flags.tobytes() + w_q[flags > 0].tobytes(), 6
-            )
-            weights_bytes = (
-                np.asarray([len(raw)], np.uint32).tobytes()
-                + raw
-                + b"\x00" * (len(raw) & 1)
-            )
+            weights_bytes = _serialize_weights(w_q, flags)
 
-        bias_bytes = zlib.compress(bias_i16.tobytes(), 6)
-        bias_bytes += b"\x00" * (len(bias_bytes) & 1)  # keep u16 aligned
-        hist_bytes = _serialize_hists(hist_n)
-        meta = np.asarray(
-            [g_lanes, n_groups] + [2 * int(t) for t in totals], dtype=np.uint32
-        ).tobytes()
-        header = NbtcHeader(
-            profile=profile,
-            near=near,
-            height=h,
-            width=w,
-            tile_h=tile_h,
-            tile_w=tile_w,
-            n_tiles=n_tiles,
-            bias_len=len(bias_bytes),
-            hist_len=len(hist_bytes),
-            flags=int(bool(transposed[b])) if transposed is not None else 0,
-        )
-        out.append(
-            header.to_bytes() + bias_bytes + weights_bytes + hist_bytes
-            + meta + payload
-        )
+        out.append(_emit_container(
+            profile, near, h, w, tile_h, tile_w, n_tiles, g_lanes,
+            totals, bias_i16, hist_n, payload, weights_bytes,
+            bool(transposed[b]) if transposed is not None else False,
+        ))
+    return out
+
+
+def _serialize_weights(w_q, flags) -> bytes:
+    """Profile-2 weight block: flags + weights of learned tiles, zlib'd."""
+    raw = zlib.compress(flags.tobytes() + w_q[flags > 0].tobytes(), 6)
+    return (
+        np.asarray([len(raw)], np.uint32).tobytes()
+        + raw
+        + b"\x00" * (len(raw) & 1)
+    )
+
+
+def _emit_container(profile, near, h, w, tile_h, tile_w, n_tiles, g_lanes,
+                    totals, bias_i16, hist_n, payload, weights_bytes,
+                    transposed_flag) -> bytes:
+    """Serialize one NBTC container from its parsed device outputs."""
+    n_groups = len(totals)
+    bias_bytes = zlib.compress(bias_i16.tobytes(), 6)
+    bias_bytes += b"\x00" * (len(bias_bytes) & 1)  # keep u16 aligned
+    hist_bytes = _serialize_hists(hist_n)
+    meta = np.asarray(
+        [g_lanes, n_groups] + [2 * int(t) for t in totals], dtype=np.uint32
+    ).tobytes()
+    header = NbtcHeader(
+        profile=profile,
+        near=near,
+        height=h,
+        width=w,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        n_tiles=n_tiles,
+        bias_len=len(bias_bytes),
+        hist_len=len(hist_bytes),
+        flags=int(transposed_flag),
+    )
+    return (
+        header.to_bytes() + bias_bytes + weights_bytes + hist_bytes
+        + meta + payload
+    )
+
+
+def _unpack_containers_compact(packed, n_imgs, n_tiles, h, w, tile_h, tile_w,
+                               near, profile, cap32, transposed=None):
+    """Split a compact batch buffer into containers; None if it overflowed.
+
+    Layout must mirror ``_encode_batch_compact_impl``.  The exact per-group
+    totals always arrive (they precede the payload region), so overflow —
+    the batch compressing past the COMPACT_BPP budget — is detected
+    reliably and the caller re-fetches via the worst-case-capacity path.
+    """
+    l = tile_h * tile_w
+    n_groups = -(-n_tiles // G_LANES)
+    g_total = n_imgs * n_groups
+    pos = 0
+    totals = packed[pos : pos + g_total].astype(np.uint32).reshape(
+        n_imgs, n_groups
+    )
+    pos += g_total
+    words32 = (totals.reshape(-1).astype(np.int64) + 1) // 2
+    if int(words32.sum()) > cap32:
+        return None
+    starts = np.cumsum(words32) - words32
+    biases = packed[pos : pos + n_imgs * Q_N_CONTEXT].reshape(
+        n_imgs, Q_N_CONTEXT
+    )
+    pos += n_imgs * Q_N_CONTEXT
+    hists = packed[pos : pos + n_imgs * N_QD * N_SYM].reshape(
+        n_imgs, N_QD, N_SYM
+    )
+    pos += n_imgs * N_QD * N_SYM
+    w_qs = flag_arrs = None
+    if profile == 2:
+        from ..ops import lsq as lsq_ops
+
+        w_qs = packed[pos : pos + n_imgs * n_tiles * lsq_ops.N_FEAT].astype(
+            np.int16
+        ).reshape(n_imgs, n_tiles, lsq_ops.N_FEAT)
+        pos += n_imgs * n_tiles * lsq_ops.N_FEAT
+        flag_arrs = packed[pos : pos + n_imgs * n_tiles].astype(
+            np.uint8
+        ).reshape(n_imgs, n_tiles)
+        pos += n_imgs * n_tiles
+    compact = packed[pos : pos + cap32]
+    out = []
+    for b in range(n_imgs):
+        chunks = []
+        for g in range(n_groups):
+            gi = b * n_groups + g
+            total = int(totals[b, g])
+            span = compact[starts[gi] : starts[gi] + words32[gi]].astype(
+                np.uint32
+            )
+            chunks.append(span.view(np.uint16)[:total].tobytes())
+        weights_bytes = b""
+        if profile == 2:
+            weights_bytes = _serialize_weights(w_qs[b], flag_arrs[b])
+        out.append(_emit_container(
+            profile, near, h, w, tile_h, tile_w, n_tiles, G_LANES,
+            totals[b], biases[b].astype(np.int16), hists[b].astype(np.uint32),
+            b"".join(chunks), weights_bytes,
+            bool(transposed[b]) if transposed is not None else False,
+        ))
     return out
 
 
@@ -727,19 +913,50 @@ def encode_batch(
         if im.shape != (h, w):
             raise ValueError("encode_batch requires same-shape images")
     check_size(h, w)
-    tiles = jnp.asarray(np.stack([to_tiles(im, tile_h, tile_w) for im in imgs]))
-    n_tiles = tiles.shape[1]
+    gh, gw = _tile_grid(h, w, tile_h, tile_w)
+    n_tiles = gh * gw
 
-    # ONE device program + ONE fetch for the whole batch (the tunnel round
-    # trip dominates everything else)
-    if profile == 2:
-        packed = np.asarray(_encode_device2_batch(tiles))
-    else:
-        packed = np.asarray(_encode_device_batch(tiles))
-    return _unpack_containers(
-        packed, len(imgs), n_tiles, h, w, tile_h, tile_w, 0, profile,
+    # ONE device program + ONE compacted fetch for the whole batch (the
+    # host link is the scarce resource under the TPU tunnel)
+    cap32 = _compact_cap32(len(imgs), n_tiles, tile_h * tile_w)
+    packed_dev = _dispatch_compact(imgs, h, w, tile_h, tile_w, profile, cap32)
+    return _fetch_compact(
+        packed_dev, imgs, cap32, len(imgs), n_tiles, h, w, tile_h, tile_w,
+        profile, transposed,
+    )
+
+
+def _dispatch_compact(imgs, h, w, tile_h, tile_w, profile, cap32):
+    """Launch the compact batch encode; tiles on device when aligned."""
+    if h % tile_h == 0 and w % tile_w == 0:
+        return _encode_compact_imgs_jit(
+            jnp.asarray(np.stack(imgs)), profile, cap32, tile_h, tile_w
+        )
+    tiles = jnp.asarray(
+        np.stack([to_tiles(im, tile_h, tile_w) for im in imgs])
+    )
+    return _encode_compact_jit(tiles, profile, cap32)
+
+
+def _fetch_compact(packed_dev, imgs, cap32, n_imgs, n_tiles, h, w,
+                   tile_h, tile_w, profile, transposed):
+    """Fetch a compact encode; fall back to worst-case capacity on overflow."""
+    packed = np.asarray(packed_dev)
+    res = _unpack_containers_compact(
+        packed, n_imgs, n_tiles, h, w, tile_h, tile_w, 0, profile, cap32,
         transposed=transposed,
     )
+    if res is None:
+        tiles = jnp.asarray(
+            np.stack([to_tiles(im, tile_h, tile_w) for im in imgs])
+        )
+        fn = _encode_device2_batch if profile == 2 else _encode_device_batch
+        packed = np.asarray(fn(tiles))
+        res = _unpack_containers(
+            packed, n_imgs, n_tiles, h, w, tile_h, tile_w, 0, profile,
+            transposed=transposed,
+        )
+    return res
 
 
 def encode_batches(image_groups, near: int = 0,
@@ -764,22 +981,20 @@ def encode_batches(image_groups, near: int = 0,
         imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
         h, w = imgs[0].shape
         check_size(h, w)
-        tiles = jnp.asarray(
-            np.stack([to_tiles(im, tile_h, tile_w) for im in imgs])
+        gh, gw = _tile_grid(h, w, tile_h, tile_w)
+        n_tiles = gh * gw
+        cap32 = _compact_cap32(len(imgs), n_tiles, tile_h * tile_w)
+        dispatched.append(
+            (imgs, h, w, n_tiles, cap32,
+             _dispatch_compact(imgs, h, w, tile_h, tile_w, profile, cap32))
         )
-        fn = _encode_device2_batch if profile == 2 else _encode_device_batch
-        dispatched.append((imgs, h, w, tiles.shape[1], fn(tiles)))
     out = []
-    for gi, (imgs, h, w, n_tiles, packed_dev) in enumerate(dispatched):
-        packed = np.asarray(packed_dev)
-        out.append(
-            _unpack_containers(
-                packed, len(imgs), n_tiles, h, w, tile_h, tile_w, 0, profile,
-                transposed=(
-                    transposed_groups[gi] if transposed_groups else None
-                ),
-            )
-        )
+    for gi, (imgs, h, w, n_tiles, cap32, packed_dev) in enumerate(dispatched):
+        out.append(_fetch_compact(
+            packed_dev, imgs, cap32, len(imgs), n_tiles, h, w,
+            tile_h, tile_w, profile,
+            transposed_groups[gi] if transposed_groups else None,
+        ))
     return out
 
 
@@ -868,36 +1083,43 @@ def _decode_batch_dispatch(streams: list[bytes]):
 
     b = len(streams)
     wmax = _bucket(max(int(p.counts.max()) for p in parsed))
-    stream_mat = np.stack([p.stream_matrix(wmax) for p in parsed])
     biases = jnp.asarray(np.stack([p.bias for p in parsed]))
     hist_ns = jnp.asarray(np.stack([p.hist_n for p in parsed]))
     accs = jnp.asarray(np.stack([p.acc for p in parsed]))
-    luts = jnp.asarray(np.stack([p.lut.reshape(-1) for p in parsed]))
 
     if h0.profile == 0:
+        stream_mat = np.stack([p.stream_matrix(wmax) for p in parsed])
+        luts = jnp.asarray(np.stack([p.lut.reshape(-1) for p in parsed]))
         tiles = _decode_tiles_batch(
             jnp.asarray(stream_mat), biases, hist_ns, accs, luts,
             h0.tile_h, h0.tile_w, h0.near,
         )
-        return ("dev", parsed, h0, b, tiles, False)
+        return ("dev", parsed, h0, b, tiles, False, False)
     elif _use_pallas():
-        from ..ops import pallas_decode
-
-        n_active = jnp.asarray(
-            np.concatenate([p.n_active() for p in parsed])
+        wmax32 = (wmax + 1) // 2
+        gsz = parsed[0].group_size
+        # ONE combined upload + ONE device program + ONE fetch: every
+        # extra host<->device interaction costs a tunnel round trip
+        buf = np.concatenate(
+            [np.concatenate([p.n_active() for p in parsed]).astype(np.int32)]
+            + [np.stack([p.bias for p in parsed]).reshape(-1)]
+            + [np.stack([p.hist_n for p in parsed]).reshape(-1)]
+            + [np.stack([p.acc for p in parsed]).reshape(-1)]
+            + [np.concatenate(
+                [p.weight_cols() for p in parsed]
+            ).reshape(-1)]
+            + [np.concatenate(
+                [p.stream_matrix32(wmax32) for p in parsed]
+            ).reshape(-1)]
         )
-        flat_streams = jnp.asarray(
-            stream_mat.reshape(-1, stream_mat.shape[-1]).astype(np.int32)
+        tiles = _pallas_decode_packed(
+            jnp.asarray(buf), b, wmax32, h0.tile_h, h0.tile_w, h0.near,
+            gsz, h0.n_tiles, h0.profile,
         )
-        wcols = jnp.asarray(
-            np.concatenate([p.weight_cols() for p in parsed])
-        )
-        tiles = pallas_decode.decode_groups_pallas(
-            flat_streams, n_active, biases, hist_ns, accs, wcols,
-            h0.tile_h, h0.tile_w, h0.near, parsed[0].group_size, h0.profile,
-        )
-        return ("dev", parsed, h0, b, tiles, True)
+        return ("dev", parsed, h0, b, tiles, True, h0.tile_w % 4 == 0)
     else:
+        stream_mat = np.stack([p.stream_matrix(wmax) for p in parsed])
+        luts = jnp.asarray(np.stack([p.lut.reshape(-1) for p in parsed]))
         n_active = jnp.asarray(np.stack([p.n_active() for p in parsed]))
         wcols = jnp.asarray(np.stack([p.weight_cols() for p in parsed]))
         tiles = _decode_groups_batch(
@@ -905,7 +1127,56 @@ def _decode_batch_dispatch(streams: list[bytes]):
             wcols, h0.tile_h, h0.tile_w, h0.near, parsed[0].group_size,
             h0.profile,
         )
-        return ("dev", parsed, h0, b, tiles, True)
+        return ("dev", parsed, h0, b, tiles, True, False)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _trim_lanes(tiles, n_keep: int):
+    """Drop interleave-group pad lanes before the host fetch."""
+    return tiles[:, :n_keep]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+def _pallas_decode_packed(buf, b: int, wmax32: int, th: int, tw: int,
+                          near: int, gsz: int, n_tiles: int, profile: int):
+    """Unpack the combined decode input buffer and run the Mosaic kernel.
+
+    Layout (int32, mirrors ``_decode_batch_dispatch``):
+      [ n_active (G) | bias (B*3072) | hist_n (B*3072) | acc (B*3072) |
+        wcols (G*16*gsz) | streams (G*wmax32 u16 pairs) ]
+    Pad lanes are trimmed on device when each image is a single group.
+    """
+    from ..ops import pallas_decode
+
+    n_groups = b * (-(-n_tiles // gsz))
+    pos = 0
+
+    def take(n, shape):
+        nonlocal pos
+        out = jax.lax.dynamic_slice_in_dim(buf, pos, n).reshape(shape)
+        pos += n
+        return out
+
+    n_active = take(n_groups, (n_groups,))
+    bias = take(b * Q_N_CONTEXT, (b, Q_N_CONTEXT))
+    hist_n = take(b * N_QD * N_SYM, (b, N_QD, N_SYM))
+    acc = take(b * N_QD * N_SYM, (b, N_QD, N_SYM))
+    wcols = take(n_groups * 16 * gsz, (n_groups, 16, gsz))
+    streams = take(n_groups * wmax32, (n_groups, wmax32))
+    tiles = pallas_decode.decode_groups_pallas(
+        streams, n_active, bias, hist_n, acc, wcols,
+        th, tw, near, gsz, profile,
+    )
+    if n_tiles < gsz:
+        tiles = tiles[:, :n_tiles]
+    if tw % 4 == 0:
+        # pack 4 px/int32: the tunnel moves uint8 arrays at half the
+        # int32 rate (measured), and pixels are the decode's biggest
+        # transfer.  Host side: .view(np.uint8) (little-endian match).
+        t = tiles.astype(jnp.int32)
+        tiles = (t[..., 0::4] | (t[..., 1::4] << 8)
+                 | (t[..., 2::4] << 16) | (t[..., 3::4] << 24))
+    return tiles
 
 
 def _decode_batch_finalize(work) -> list[np.ndarray]:
@@ -913,8 +1184,14 @@ def _decode_batch_finalize(work) -> list[np.ndarray]:
     kind, *rest = work
     if kind == "done":
         return rest[0]
-    parsed, h0, b, tiles, regroup = rest
-    tiles_np = np.asarray(tiles, dtype=np.uint8)
+    parsed, h0, b, tiles, regroup, packed4 = rest
+    if packed4:
+        # 4-px/int32 packed fetch (_pallas_decode_packed): LE bytes are
+        # the pixels in order along the tile-width axis
+        raw = np.ascontiguousarray(np.asarray(tiles))
+        tiles_np = raw.view(np.uint8).reshape(raw.shape[:-1] + (-1,))
+    else:
+        tiles_np = np.asarray(tiles, dtype=np.uint8)
     if regroup:
         tiles_np = tiles_np.reshape(b, -1, h0.tile_h, h0.tile_w)[
             :, : h0.n_tiles
@@ -979,9 +1256,8 @@ class _Parsed:
         self.acc = np.stack(
             [hist_ops.accumulate(h.astype(np.uint32)) for h in self.hist_n]
         ).astype(np.int32)
-        self.lut = np.stack(
-            [hist_ops.decode_lut(a.astype(np.uint32)) for a in self.acc]
-        ).astype(np.int32)
+        self._lut = None  # 12x32768 decode LUT: built lazily (the Pallas
+        # kernel searches acc directly and never needs it)
 
         if hdr.profile == 0:
             lengths = np.frombuffer(
@@ -1002,8 +1278,22 @@ class _Parsed:
             raise ValueError(f"unknown NBTC profile {hdr.profile}")
         self.payload = np.frombuffer(stream, dtype=np.uint16, offset=pos)
 
+    @property
+    def lut(self) -> np.ndarray:
+        if self._lut is None:
+            self._lut = np.stack(
+                [hist_ops.decode_lut(a.astype(np.uint32)) for a in self.acc]
+            ).astype(np.int32)
+        return self._lut
+
     def stream_matrix(self, wmax: int) -> np.ndarray:
         return rans.pad_streams(self.payload, self.counts, wmax)
+
+    def stream_matrix32(self, wmax32: int) -> np.ndarray:
+        """Pair-packed stream matrix: 2 u16 words per int32 (half the
+        upload bytes of ``stream_matrix``; the Pallas kernel's format)."""
+        m = rans.pad_streams(self.payload, self.counts, 2 * wmax32)
+        return (m[:, 0::2] | (m[:, 1::2] << 16)).astype(np.int32)
 
     def weight_cols(self) -> np.ndarray:
         """Per-group (16, G) weight/flag columns for the lockstep decoders."""
@@ -1061,7 +1351,7 @@ def decode(stream: bytes) -> np.ndarray:
         from ..ops import pallas_decode
 
         tiles = pallas_decode.decode_groups_pallas(
-            jnp.asarray(streams_np.astype(np.int32)),
+            jnp.asarray(p.stream_matrix32((wmax + 1) // 2)),
             jnp.asarray(p.n_active()),
             jnp.asarray(p.bias)[None],
             jnp.asarray(p.hist_n)[None],

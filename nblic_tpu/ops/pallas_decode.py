@@ -70,19 +70,38 @@ def _kernel(nact_ref, stream_ref, c16_ref, facc_ref, freq_ref, bias2_ref,
             tri_ref, w_ref, out_ref, state_ref, sp_ref, prev1_ref, prev2_ref,
             *, th: int, tw: int, near: int, g: int, profile: int):
     i = pl.program_id(1)
+    w32 = g + 128  # i32-pair window: covers 2*w32 u16s >= 257 + g needed
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
     iota12 = jax.lax.broadcasted_iota(jnp.int32, (N_QD, g), 0)
     iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, g), 0)
     iota192 = jax.lax.broadcasted_iota(jnp.int32, (192, g), 0)
-    iota2g = jax.lax.broadcasted_iota(jnp.int32, (2 * g, g), 0)
+    iotaw32 = jax.lax.broadcasted_iota(jnp.int32, (w32, g), 0)
     iotw = jax.lax.broadcasted_iota(jnp.int32, (tw, g), 0)
     active = (lane_row < nact_ref[pl.program_id(0)]).astype(jnp.int32)
 
+    def window_words(win32, tgt, maskf):
+        """u16 words at in-window u16 indices ``tgt`` from an i32-pair window.
+
+        The stream arrives as little-endian u16 pairs packed in int32 (halves
+        the host upload); two one-hot matmuls select each lane's pair and its
+        lo/hi half.  win32 (1, w32) int32; tgt/maskf (1, g); returns (1, g).
+        """
+        lo16 = (win32 & 0xFFFF).astype(jnp.float32)
+        hi16 = ((win32 >> 16) & 0xFFFF).astype(jnp.float32)
+        pair = iotaw32 == (tgt >> 1)
+        odd = (tgt & 1) == 1
+        sel_lo = (pair & ~odd).astype(jnp.float32) * maskf
+        sel_hi = (pair & odd).astype(jnp.float32) * maskf
+        return (_mm(lo16, sel_lo) + _mm(hi16, sel_hi)).astype(jnp.int32)
+
     @pl.when(i == 0)
     def _init():
-        # head layout: g hi-words then g lo-words (ops/rans.py)
-        hi = stream_ref[:, pl.ds(0, g)].astype(jnp.uint32)
-        lo = stream_ref[:, pl.ds(g, g)].astype(jnp.uint32)
+        # head layout: g hi-words then g lo-words (ops/rans.py), u16
+        # indices [0, 2g) = the first g i32 pairs
+        win = stream_ref[:, pl.ds(0, w32)]
+        ones = jnp.ones((1, g), jnp.float32)
+        hi = window_words(win, lane_row, ones).astype(jnp.uint32)
+        lo = window_words(win, g + lane_row, ones).astype(jnp.uint32)
         state_ref[...] = (hi << ANS_BITS) | lo
         sp_ref[0] = 2 * g
         prev1_ref[...] = jnp.zeros((tw, g), jnp.int32)
@@ -149,21 +168,21 @@ def _kernel(nact_ref, stream_ref, c16_ref, facc_ref, freq_ref, bias2_ref,
         ).astype(jnp.uint32)
         state = (state >> NORM_BITS) * freq + lb.astype(jnp.uint32) - accv
 
-        # shared-cursor renorm: MXU triangular prefix rank, then a one-hot
-        # matmul picks each needing lane's word from the aligned window
+        # shared-cursor renorm: MXU triangular prefix rank, then one-hot
+        # matmuls pick each needing lane's u16 word from the aligned
+        # i32-pair window
         need = ((state < ANS_LOW_BOUND).astype(jnp.int32)) * active
         needf = need.astype(jnp.float32)
         rank = _mm(needf, tri_ref[...]).astype(jnp.int32)  # (1,g)@(g,g)
         # clamp so corrupt/truncated streams can't drive the window load out
-        # of bounds (the wrapper pads wmax by 2g+128)
-        wmax = stream_ref.shape[-1]
+        # of bounds (the wrapper pads the pair axis by w32 + 128)
+        wmax32 = stream_ref.shape[-1]
         base = pl.multiple_of(
-            jnp.minimum((sp >> 7) << 7, ((wmax - 2 * g) >> 7) << 7), 128
+            jnp.minimum((sp >> 8) << 7, ((wmax32 - w32) >> 7) << 7), 128
         )
-        window = stream_ref[:, pl.ds(base, 2 * g)].astype(jnp.float32)
-        tgt = (sp - base) + rank
-        sel = (iota2g == tgt).astype(jnp.float32) * needf  # (2g, g)
-        word = _mm(window, sel).astype(jnp.int32)  # (1,2g)@(2g,g) -> (1,g)
+        window = stream_ref[:, pl.ds(base, w32)]
+        tgt = (sp - 2 * base) + rank
+        word = window_words(window, tgt, needf)
         state = jnp.where(
             need == 1, (state << ANS_BITS) | word.astype(jnp.uint32), state
         )
@@ -228,8 +247,11 @@ def _kernel(nact_ref, stream_ref, c16_ref, facc_ref, freq_ref, bias2_ref,
 def decode_groups_pallas(streams, n_active, bias, hist_n, acc, wcols,
                          th: int, tw: int, near: int, g: int,
                          profile: int = 1, interpret: bool = False):
-    """Decode (G_total, Wmax) interleaved streams -> (G_total, g, th, tw).
+    """Decode (G_total, Wmax32) interleaved streams -> (G_total, g, th, tw).
 
+    streams: int32 PAIRS — two little-endian u16 stream words per element
+    (``_Parsed.stream_matrix32``); packing halves the host upload, the
+    scarce resource under the TPU tunnel.
     bias: (B, 3072) int32 fixed-point tables; hist_n/acc: (B, 12, 256) int32
     — one table set per image, where G_total = B * groups_per_image.
     wcols: (G_total, 16, g) int32 per-tile predictor weights (profile 2).
@@ -237,8 +259,8 @@ def decode_groups_pallas(streams, n_active, bias, hist_n, acc, wcols,
     n_groups, wmax = streams.shape
     b = bias.shape[0]
     npg = n_groups // b  # groups per image
-    # pad so the aligned 2g-wide window load never runs off the end
-    streams = jnp.pad(streams.astype(jnp.int32), ((0, 0), (0, 2 * g + 128)))
+    # pad so the aligned (g+128)-pair window load never runs off the end
+    streams = jnp.pad(streams.astype(jnp.int32), ((0, 0), (0, g + 256)))
     wmax = streams.shape[1]
     streams3 = streams[:, None, :]  # (n_groups, 1, wmax): Mosaic-tileable block
     # two-level table layouts (kernel docstring): coarse boundaries (16, 12)

@@ -16,7 +16,7 @@ def _pallas_decode(stream: bytes) -> np.ndarray:
     assert hdr.profile in (1, 2)
     wmax = tiled._bucket(int(p.counts.max()))
     tiles = pallas_decode.decode_groups_pallas(
-        jnp.asarray(p.stream_matrix(wmax).astype(np.int32)),
+        jnp.asarray(p.stream_matrix32((wmax + 1) // 2)),
         jnp.asarray(p.n_active()),
         jnp.asarray(p.bias)[None],
         jnp.asarray(p.hist_n)[None],
