@@ -233,17 +233,26 @@ def encode(img: np.ndarray, th: int = TH_DEFAULT) -> bytes:
 
 
 def encode_batch(imgs, th: int = TH_DEFAULT) -> list[bytes]:
-    """Encode same-shape images in one device program (lossless)."""
+    """Encode images in one device program (lossless).
+
+    Portrait images are transposed to landscape first (per-image header
+    flag), so a mixed-orientation corpus batches as long as the normalized
+    shapes agree."""
     imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
-    h0, w0 = imgs[0].shape
-    for im in imgs:
-        if im.shape != (h0, w0):
-            raise ValueError("encode_batch requires same-shape images")
-    check_size(h0, w0)
-    transposed = h0 > w0
-    if transposed:
-        imgs = [np.ascontiguousarray(im.T) for im in imgs]
+    dims = [im.shape for im in imgs]
+    tflags = [h > w for h, w in dims]
+    imgs = [
+        np.ascontiguousarray(im.T) if t else im
+        for im, t in zip(imgs, tflags)
+    ]
     h, w = imgs[0].shape
+    for im in imgs:
+        if im.shape != (h, w):
+            raise ValueError(
+                "encode_batch requires same-shape images (after "
+                "orientation normalization)"
+            )
+    check_size(h, w)
     th = min(th, -(-h // N_PHASE) * N_PHASE)
     strips = np.stack([_to_strips(im, th) for im in imgs])
     s = strips.shape[1]
@@ -272,7 +281,8 @@ def encode_batch(imgs, th: int = TH_DEFAULT) -> list[bytes]:
         u16[0::2] = w32 & 0xFFFF
         u16[1::2] = w32 >> 16
         out.append(
-            _container(metas[b], u16[:n_words], h0, w0, s, th, transposed)
+            _container(metas[b], u16[:n_words], dims[b][0], dims[b][1], s,
+                       th, tflags[b])
         )
     return out
 

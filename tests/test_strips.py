@@ -66,3 +66,24 @@ def test_beats_profile1_on_natural_content():
     s3 = strips.encode(img)
     s1 = tiled.encode(img, effort=1)
     assert len(s3) < len(s1)
+
+
+def test_kodak03_bpp_ratchet():
+    """Corpus-level bits regression bar for the ratio flagship.
+
+    Profile 3 measures 3.184 bpp on kodak 03 (reference -e1 gets 3.246 on
+    the Kodak mean scale; corpus mean is the bench's headline).  Anything
+    past 3.25 here is a real adaptive-stack regression."""
+    img = imageio.load_image("/root/reference/img_kodak/03.bmp")
+    s = strips.encode(img)
+    bpp = 8.0 * len(s) / img.size
+    assert bpp < 3.25, f"profile-3 bpp regressed: {bpp:.4f}"
+    assert np.array_equal(strips.decode(s), img)
+
+
+def test_mixed_orientation_batch(kodak_crop):
+    imgs = [kodak_crop, np.ascontiguousarray(kodak_crop.T)]
+    batch = strips.encode_batch(imgs)
+    outs = strips.decode_batch(batch)
+    for im, out in zip(imgs, outs):
+        assert np.array_equal(out, im)

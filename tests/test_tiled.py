@@ -86,3 +86,12 @@ class TestNearLossless:
         assert len(s2) < 0.7 * len(s0)
         dec = tiled.decode(s2)
         assert np.abs(dec.astype(int) - kodak01.astype(int)).max() <= 2
+
+
+class TestRatioRatchets:
+    def test_profile2_not_worse_than_profile1(self, kodak01):
+        s1 = tiled.encode(kodak01, effort=1)
+        s2 = tiled.encode(kodak01, effort=2)
+        # the learned-predictor race may only help; parity on frames where
+        # every tile keeps the blend predictor
+        assert len(s2) <= len(s1) + 64, (len(s1), len(s2))
