@@ -8,20 +8,23 @@ the encoder is parallel end to end:
 - Full-width strips (default 128 rows).  Measured strip-boundary cost is
   ~0.008 bpp vs 0.045 for 64x64 tiles; portrait images are transposed to
   landscape (flagged) so corpora share one geometry.
-- Modeling: parallel AVP (ops/pavp.py) + static transmitted context-bias
-  table; whole-plane vector math throughout.
-- Coding: layered Zcodec walk (ops/zcodec3.py) with row-frozen counter and
-  mapper state (ops/coder3.py) — the encoder's only sequential structure is
+- Modeling: parallel AVP (ops/pavp.py); whole-plane vector math throughout.
+- Coding: layered Zcodec walk (ops/zcodec3.py) with row-frozen counter,
+  mapper, AND context-bias state (the bias analog of NBLIC.c:398-428 —
+  frozen within a row, updated per row from (address, error) moments, so
+  nothing is transmitted) — the encoder's only sequential structure is
   a scan over rows whose body is small einsums; the decoder replays the
-  identical row updates from its decoded pixels (shared ``_row_code``).
+  identical row updates from its decoded pixels (shared ``_row_code`` /
+  ``_bias_update``).
 - Entropy: binary rANS (ops/rans_bin.py), N_PHASE interleaved states per
   strip with *static* slot-phase assignment, so the per-state fold input is
   a pure reshape of the dense layer grid (no data-dependent compaction).
 
-Container (``NBTC0001`` magic, profile=3): header | zlib int16[3072] bias |
-per-state u32 word-length table | concatenated per-state u16 streams.
-``tile_h`` carries the strip height, ``tile_w`` the transposed flag,
-``n_tiles`` the strip count.
+Container (``NBTC0001`` magic, profile=3): header | per-state u32
+word-length table | concatenated per-state u16 streams.  ``tile_h``
+carries the strip height, ``tile_w`` the transposed flag, ``n_tiles`` the
+strip count; ``bias_len`` is 0 (a nonzero value marks a legacy container
+with a transmitted static-bias table, which still decodes).
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import MAX_PX_INC, Q_N_CONTEXT
+from ..constants import MAX_PX_INC, MAX_VAL, Q_N_CONTEXT
 from ..ops import coder3, context as ctx_ops, pavp, rans, rans_bin, zcodec3
 from ..ops.neighbors import Neighbors, sample
 from ..ops.predict import (
@@ -47,6 +50,9 @@ from ..ops.window import row_start_window, slide_window
 from ..utils.container import NbtcHeader, check_size
 
 TH_DEFAULT = 128
+AVP_N = 10          # feature count of the parallel AVP (reference -e3 class,
+                    # N_LIST[3], NBLIC.c:88); containers record it so older
+                    # 6-feature streams still decode
 K_STEP = 3          # lossless k_step (NBLIC.c:769 at near=0)
 N_PHASE = rans_bin.N_PHASE
 L_U = zcodec3.N_UNARY
@@ -135,10 +141,18 @@ def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r):
 # ---------------------------------------------------------------------------
 
 
-def _model_planes(strips):
-    """Whole-plane modeling: AVP prediction + contexts + fold (lossless)."""
+def _model_planes(strips, n_feat: int = AVP_N):
+    """Whole-plane modeling: AVP prediction + contexts (lossless).
+
+    The context-bias correction and residual fold happen in the coding
+    scan (_code_impl): the bias table is ROW-ADAPTIVE — frozen within a
+    row, updated from each coded row's (address, error) pairs — so nothing
+    is transmitted and the table tracks local statistics the way the
+    reference's per-pixel EWMA does (NBLIC.c:398-428), at row granularity.
+    Everything here is bias-independent, so it stays whole-plane parallel.
+    """
     x = strips.astype(jnp.int32)
-    px0 = pavp.predict_plane(x, pavp.N_FEAT)
+    px0 = pavp.predict_plane(x, n_feat)
     nb = sample(x)
     err_raw = x - px0
     err_c = jnp.clip(err_raw, -MAX_PX_INC, MAX_PX_INC)
@@ -146,29 +160,66 @@ def _model_planes(strips):
     qd12 = quantize_activity(delta)
     qu, qv, qw = n_quantize_activity(delta)
     adr = context_address(nb, px0, qd12)
-    bias_tab = ctx_ops.build_static_bias(adr, err_raw, Q_N_CONTEXT)
-    pxc, sign = ctx_ops.apply_static_bias(bias_tab, adr, px0)
-    y = ctx_ops.residual_fold(x, pxc, sign, 0)
-    key = jnp.clip(pxc, 0, 255) * 2 + sign
-    return y, qu, qv, qw, key, bias_tab
+    return x, px0, adr, qu, qv, qw
 
 
-def _code_impl(y, qu, qv, qw, key, bias_tab):
+# EWMA horizon of the row-adaptive bias: halve (sums, counts) past this
+# count, matching the reference's context halving scale (NBLIC.h ctxCnt cap)
+BIAS_CAP = 1 << 11
+
+
+def _bias_update(bsums, bcnts, idx, err):
+    """Fold one coded row into the bias moments (encoder == decoder).
+
+    idx: flattened (image*C + adr) bins; err: raw prediction errors.
+    Integer-exact via the pair-decomposed MXU segment sum.
+    """
+    n_bins = bsums.size
+    shp = bsums.shape
+    # int32 throughout: the segment sum promotes to int64 under x64 mode
+    bsums = bsums.reshape(-1) + ctx_ops.pair_segment_sum(
+        idx, err.astype(jnp.int32), n_bins
+    ).astype(jnp.int32)
+    bcnts = bcnts.reshape(-1) + ctx_ops.pair_segment_sum(
+        idx, None, n_bins
+    ).astype(jnp.int32)
+    over = bcnts > BIAS_CAP
+    bsums = jnp.where(over, bsums >> 1, bsums)
+    bcnts = jnp.where(over, bcnts >> 1, bcnts)
+    return bsums.reshape(shp), bcnts.reshape(shp)
+
+
+def _code_impl(x, px0, adr, qu, qv, qw):
     """Row-scan coding + fold + pack for one image's modeled planes."""
-    s, th, w = y.shape
+    s, th, w = x.shape
     n_class = 256 >> zcodec3.layer_consts(K_STEP).k_max
     img_of_lane = jnp.zeros((s,), jnp.int32)
 
     def row_body(carry, inputs):
-        slots, carry = _row_code(*carry, img_of_lane, *inputs)
-        return carry, slots
+        utab, rtab, mhist, bsums, bcnts = carry
+        x_r, px0_r, adr_r, qu_r, qv_r, qw_r = inputs
+        btab = ctx_ops.quantize_bias(bsums, bcnts)
+        bval = ctx_ops.pair_gather(btab, adr_r)
+        sign = (bval >> (ctx_ops.BIAS_FRAC_BITS - 1)) & 1
+        pxc = jnp.clip(
+            px0_r + (bval >> ctx_ops.BIAS_FRAC_BITS) + sign, 0, MAX_VAL
+        )
+        y_r = ctx_ops.residual_fold(x_r, pxc, sign, 0)
+        key_r = pxc * 2 + sign
+        slots, (utab, rtab, mhist) = _row_code(
+            utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r
+        )
+        bsums, bcnts = _bias_update(bsums, bcnts, adr_r, x_r - px0_r)
+        return (utab, rtab, mhist, bsums, bcnts), slots
 
     init = (
         coder3.init_unary(s, n_class),
         coder3.init_refine(s),
         coder3.init_mapper(1),
+        jnp.zeros((Q_N_CONTEXT,), jnp.int32),
+        jnp.zeros((Q_N_CONTEXT,), jnp.int32),
     )
-    xs = tuple(jnp.moveaxis(v, 1, 0) for v in (y, qu, qv, qw, key))
+    xs = tuple(jnp.moveaxis(v, 1, 0) for v in (x, px0, adr, qu, qv, qw))
     _, (probs, bins, masks) = jax.lax.scan(row_body, init, xs)
 
     def fold_layout(a):
@@ -183,15 +234,16 @@ def _code_impl(y, qu, qv, qw, key, bias_tab):
     flat, lengths = rans.pack_streams(words, emits, state)
     flat = flat.astype(jnp.int32)
     flat32 = flat[0::2] | (flat[1::2] << 16)
-    meta = jnp.concatenate([lengths, bias_tab])
-    return meta, flat32
+    return lengths, flat32
 
 
 # the encode runs as two device programs (modeling | coding): each compiles
 # in minutes rather than the single fused program's hours on the remote
 # TPU compiler, and both cache independently
-_model_jit = jax.jit(_model_planes)
-_model_batch_jit = jax.jit(jax.vmap(_model_planes))
+_model_jit = jax.jit(_model_planes, static_argnums=(1,))
+_model_batch_jit = jax.jit(
+    jax.vmap(_model_planes, in_axes=(0, None)), static_argnums=(1,)
+)
 _code_jit = jax.jit(_code_impl)
 _code_batch_jit = jax.jit(jax.vmap(_code_impl))
 
@@ -203,25 +255,24 @@ def _to_strips(img: np.ndarray, th: int) -> np.ndarray:
     return padded.reshape(s, th, w)
 
 
-def _container(meta, words, h0, w0, s, th, transposed) -> bytes:
+def _container(lengths, words, h0, w0, s, th, transposed) -> bytes:
+    # bias_len == 0 marks the row-adaptive bias (nothing transmitted);
+    # legacy containers carry a zlib'd static table there and still decode
     n_states = s * N_PHASE
-    lengths = np.asarray(meta[:n_states], np.uint32)
-    bias = np.asarray(meta[n_states:], np.int16)
-    bias_z = zlib.compress(bias.tobytes(), 6)
+    lengths = np.asarray(lengths, np.uint32)
     hdr = NbtcHeader(
         profile=PROFILE,
         near=0,
         height=h0,
         width=w0,
         tile_h=th,
-        tile_w=int(transposed),
+        tile_w=int(transposed) | (AVP_N << 4),
         n_tiles=s,
-        bias_len=len(bias_z),
+        bias_len=0,
         hist_len=4 * n_states,
     )
     return (
         hdr.to_bytes()
-        + bias_z
         + lengths.astype("<u4").tobytes()
         + words.tobytes()
     )
@@ -258,30 +309,26 @@ def encode_batch(imgs, th: int = TH_DEFAULT) -> list[bytes]:
     s = strips.shape[1]
     with jax.enable_x64():
         if len(imgs) == 1:
-            planes = _model_jit(jnp.asarray(strips[0]))
-            meta_d, flat_d = _code_jit(*planes)
-            metas, flats = meta_d[None], flat_d[None]
+            planes = _model_jit(jnp.asarray(strips[0]), AVP_N)
+            len_d, flat_d = _code_jit(*planes)
+            lens, flats = len_d[None], flat_d[None]
         else:
-            planes = _model_batch_jit(jnp.asarray(strips))
-            metas, flats = _code_batch_jit(*planes)
-        metas = np.asarray(metas)
-        n_states = s * N_PHASE
-        totals = [
-            int((np.asarray(m[:n_states], np.uint32).sum() + 1) // 2)
-            for m in metas
-        ]
+            planes = _model_batch_jit(jnp.asarray(strips), AVP_N)
+            lens, flats = _code_batch_jit(*planes)
+        lens = np.asarray(lens, np.uint32)
+        totals = [int((m.sum() + 1) // 2) for m in lens.astype(np.int64)]
         # fetch only the live prefix of each packed stream (the padded fold
         # buffer is ~40x the compressed size; the tunnel is the bottleneck)
         flat_np = np.asarray(flats[:, : max(totals)])
     out = []
     for b, im in enumerate(imgs):
-        n_words = int(np.asarray(metas[b][:n_states], np.uint32).sum())
+        n_words = int(lens[b].astype(np.int64).sum())
         w32 = flat_np[b, : (n_words + 1) // 2].astype(np.uint32)
         u16 = np.empty(w32.size * 2, np.uint16)
         u16[0::2] = w32 & 0xFFFF
         u16[1::2] = w32 >> 16
         out.append(
-            _container(metas[b], u16[:n_words], dims[b][0], dims[b][1], s,
+            _container(lens[b], u16[:n_words], dims[b][0], dims[b][1], s,
                        th, tflags[b])
         )
     return out
@@ -292,14 +339,18 @@ def encode_batch(imgs, th: int = TH_DEFAULT) -> list[bytes]:
 # ---------------------------------------------------------------------------
 
 
-def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int):
+def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
+                 adaptive: bool = True, n_feat: int = AVP_N):
     """Lockstep decode: lanes = n_imgs * s strips, mirrors _encode_impl.
 
-    smat: (lanes, N_PHASE, wmax) int32 per-state streams; bias_b:
-    (n_imgs, Q_N_CONTEXT) int32.  Returns (lanes, th, w) int32 pixels.
+    smat: (lanes, N_PHASE, wmax) int32 per-state streams.  With
+    ``adaptive`` the context-bias table is row-adaptive (replayed from
+    decoded rows, bias_b ignored); otherwise bias_b: (n_imgs,
+    Q_N_CONTEXT) int32 is the legacy transmitted table.  Returns
+    (lanes, th, w) int32 pixels.
     """
     lanes = n_imgs * s
-    n = pavp.N_FEAT
+    n = n_feat
     m = pavp.get_m(n)
     n_class = 256 >> zcodec3.layer_consts(K_STEP).k_max
     img_of_lane = jnp.repeat(jnp.arange(n_imgs, dtype=jnp.int32), s)
@@ -310,7 +361,11 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int):
     ptr0 = jnp.full((lanes, N_PHASE), 2, jnp.int32)
 
     def row_body(carry, i):
-        prev1, prev2, b_row, utab, rtab, mhist, states, ptrs = carry
+        (prev1, prev2, b_row, utab, rtab, mhist, states, ptrs,
+         bsums, bcnts) = carry
+        btab_b = (
+            ctx_ops.quantize_bias(bsums, bcnts) if adaptive else bias_b
+        )
         # AVPprecalcuate: F from the previous row's B state
         f_row = pavp.f_chain(jnp.moveaxis(b_row, 2, 0))  # (W, m, lanes)
         f_row = jnp.moveaxis(f_row, 0, 2)  # (m, lanes, W)
@@ -343,9 +398,16 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int):
             regs, err, row_px, e_acc, b_row, states, ptrs = ccarry
             nb = Neighbors(*regs)
             px_s = simple_predict(nb)
+            # t tap (features 7+): img[i-1, j+2] from the decoded previous
+            # row, falling back to d out of range (pavp.predict_plane)
+            t_col = jax.lax.dynamic_slice_in_dim(
+                prev1, jnp.minimum(j + 2, w - 1), 1, axis=1
+            )[:, 0]
+            t_tap = jnp.where((i >= 1) & (j + 2 < w), t_col, nb.d)
             feats = jnp.stack(
                 [v.astype(jnp.int64) - pavp.FIT_BASE
-                 for v in (nb.a, nb.b, nb.c, nb.d, nb.e, nb.f)[:n]]
+                 for v in (nb.a, nb.b, nb.c, nb.d, nb.e, nb.f, t_tap,
+                           nb.h, nb.q, nb.g)[:n]]
             )
             stats = e_acc + f_row[:, :, j]
             px_f, ok = pavp.predict_from_stats(stats, feats, n)
@@ -358,7 +420,7 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int):
             qu, qv, qw = n_quantize_activity(delta)
             adr = context_address(nb, px0, qd12)
             bias = jnp.take_along_axis(
-                bias_b, adr.reshape(n_imgs, s), axis=1
+                btab_b, adr.reshape(n_imgs, s), axis=1
             ).reshape(lanes)
             sign = (bias >> (ctx_ops.BIAS_FRAC_BITS - 1)) & 1
             pxc = jnp.clip(
@@ -442,7 +504,7 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int):
             regs = slide_window(regs, x, i, j, prev1, prev2, w)
             return (
                 (regs, err2, row_px, e_acc, b_row, states, ptrs),
-                (x, y, qu, qv, qw, key),
+                (x, y, qu, qv, qw, key, adr, px0),
             )
 
         row0 = jnp.zeros((lanes, w), jnp.int32)
@@ -453,15 +515,19 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int):
              states, ptrs),
             jnp.arange(w, dtype=jnp.int32),
         )
-        _, y_r, qu_r, qv_r, qw_r, key_r = [
+        x_r, y_r, qu_r, qv_r, qw_r, key_r, adr_r, px0_r = [
             jnp.moveaxis(v, 0, 1) for v in cols
         ]
-        # replay the adaptive-state transition exactly as the encoder
+        # replay the adaptive-state transitions exactly as the encoder
         _, (utab, rtab, mhist) = _row_code(
             utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r
         )
+        if adaptive:
+            idx = img_of_lane[:, None] * Q_N_CONTEXT + adr_r
+            bsums, bcnts = _bias_update(bsums, bcnts, idx, x_r - px0_r)
         return (
-            (row_px, prev1, b_row, utab, rtab, mhist, states, ptrs),
+            (row_px, prev1, b_row, utab, rtab, mhist, states, ptrs,
+             bsums, bcnts),
             row_px,
         )
 
@@ -474,6 +540,8 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int):
         coder3.init_mapper(n_imgs),
         state0,
         ptr0,
+        jnp.zeros((n_imgs, Q_N_CONTEXT), jnp.int32),
+        jnp.zeros((n_imgs, Q_N_CONTEXT), jnp.int32),
     )
     _, rows = jax.lax.scan(row_body, init, jnp.arange(th, dtype=jnp.int32))
     return jnp.moveaxis(rows, 0, 1)  # (lanes, th, w)
@@ -490,7 +558,7 @@ def _gather_refine(rprob, row, kk, msb):
     return jnp.take_along_axis(t, msb[:, None], axis=1)[:, 0]
 
 
-_decode_jit = jax.jit(_decode_scan, static_argnums=(2, 3, 4, 5))
+_decode_jit = jax.jit(_decode_scan, static_argnums=(2, 3, 4, 5, 6, 7))
 
 
 def _parse(stream: bytes):
@@ -499,9 +567,12 @@ def _parse(stream: bytes):
         raise ValueError(f"not a profile-3 container: profile {hdr.profile}")
     check_size(hdr.height, hdr.width)
     pos = NbtcHeader.SIZE
-    bias = np.frombuffer(
-        zlib.decompress(stream[pos : pos + hdr.bias_len]), dtype=np.int16
-    ).astype(np.int32)
+    if hdr.bias_len:  # legacy transmitted static-bias table
+        bias = np.frombuffer(
+            zlib.decompress(stream[pos : pos + hdr.bias_len]), dtype=np.int16
+        ).astype(np.int32)
+    else:  # row-adaptive bias (replayed, nothing transmitted)
+        bias = np.zeros((0,), np.int32)
     pos += hdr.bias_len
     n_states = hdr.n_tiles * N_PHASE
     lengths = np.frombuffer(
@@ -509,7 +580,9 @@ def _parse(stream: bytes):
     ).astype(np.int64)
     pos += 4 * n_states
     payload = np.frombuffer(stream, dtype=np.uint16, offset=pos)
-    geom = (hdr.height, hdr.width, hdr.n_tiles, hdr.tile_h, bool(hdr.tile_w))
+    n_feat = (hdr.tile_w >> 4) or 6  # pre-AVP_N containers used 6 features
+    geom = (hdr.height, hdr.width, hdr.n_tiles, hdr.tile_h,
+            bool(hdr.tile_w & 1), n_feat)
     return geom, bias, lengths, payload
 
 
@@ -524,33 +597,41 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
     parsed = [_parse(x) for x in streams]
 
     def plane_geom(g):
-        h0, w0, s, th, transposed = g
+        h0, w0, s, th, transposed, n_feat = g
         hh, ww = (w0, h0) if transposed else (h0, w0)
-        return (s, th, ww)
+        return (s, th, ww, n_feat)
 
     # images of either orientation share the encoded-plane geometry (the
     # encoder transposes portraits); only the output crop/transpose differs
-    if any(plane_geom(p[0]) != plane_geom(parsed[0][0]) for p in parsed[1:]):
+    adaptive = parsed[0][1].size == 0
+    if any(
+        plane_geom(p[0]) != plane_geom(parsed[0][0])
+        or (p[1].size == 0) != adaptive
+        for p in parsed[1:]
+    ):
         return [decode(x) for x in streams]
-    s, th, ww = plane_geom(parsed[0][0])
+    s, th, ww, n_feat = plane_geom(parsed[0][0])
     n_imgs = len(streams)
     wmax = max(2, max(int(p[2].max()) for p in parsed))
     wmax = -(-wmax // 64) * 64
     smat = np.concatenate(
         [rans.pad_streams(p[3], p[2], wmax) for p in parsed]
     ).astype(np.int32)
-    bias = np.stack([p[1] for p in parsed]).astype(np.int32)
+    if adaptive:
+        bias = np.zeros((n_imgs, Q_N_CONTEXT), np.int32)
+    else:
+        bias = np.stack([p[1] for p in parsed]).astype(np.int32)
     with jax.enable_x64():
         px = np.asarray(
             _decode_jit(
                 jnp.asarray(smat.reshape(n_imgs * s, N_PHASE, wmax)),
                 jnp.asarray(bias),
-                th, ww, s, n_imgs,
+                th, ww, s, n_imgs, adaptive, n_feat,
             )
         )
     out = []
     for b in range(n_imgs):
-        h0, w0, _, _, transposed = parsed[b][0]
+        h0, w0, _, _, transposed, _ = parsed[b][0]
         hh = w0 if transposed else h0
         plane = px[b * s : (b + 1) * s].reshape(s * th, ww)[:hh]
         out.append(

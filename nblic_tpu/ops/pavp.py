@@ -283,10 +283,14 @@ def predict_plane(strips, n: int = N_FEAT):
     px_s = simple_predict(nb)
     x = strips.astype(jnp.int64)
 
-    # t tap: img[i, j-2], falling back to d at j<2 (sampleNeighbourPixels)
+    # t tap: img[i-1, j+2], falling back to d out of range
+    # (sampleNeighbourPixels, NBLIC.c:303)
     d64 = nb.d.astype(jnp.int64)
-    rolled = jnp.roll(x, 2, axis=2)
-    t_tap = jnp.where(jnp.arange(w)[None, None, :] >= 2, rolled, d64)
+    up2r = jnp.roll(jnp.roll(x, 1, axis=1), -2, axis=2)
+    t_ok = (jnp.arange(h)[None, :, None] >= 1) & (
+        jnp.arange(w)[None, None, :] + 2 < w
+    )
+    t_tap = jnp.where(t_ok, up2r, d64)
     taps = (nb.a, nb.b, nb.c, nb.d, nb.e, nb.f, t_tap, nb.h, nb.q, nb.g)
     feats = jnp.stack(
         [jnp.asarray(v, jnp.int64) - FIT_BASE for v in taps[:n]]
