@@ -40,41 +40,58 @@ def main() -> int:
         return 1
     n_px = sum(im.size for im in imgs)
 
-    # batch per distinct shape (Kodak has both orientations)
-    groups: dict[tuple, list] = {}
-    for im in imgs:
-        groups.setdefault(im.shape, []).append(im)
-    batches = list(groups.values())
-
+    # e2e production path: orientation-merged corpus encode (one device
+    # program + one compacted fetch), batched single-program decode
     def encode_all():
-        return tiled.encode_batches(batches)
+        return tiled.encode_corpus(imgs)
 
-    def decode_all(all_streams):
-        return [tiled.decode_batch(s) for s in all_streams]
+    def decode_all(streams):
+        return tiled.decode_batch(streams)
 
     # ---- warmup (compile) ----
-    all_streams = encode_all()
-    all_decs = decode_all(all_streams)
+    streams = encode_all()
+    decs = decode_all(streams)
 
-    # ---- timed encode (steady state) ----
-    reps = 3
-    t0 = time.perf_counter()
+    # ---- timed encode (steady state, median of 5) ----
+    reps = 5
+    t_encs = []
     for _ in range(reps):
-        all_streams = encode_all()
-    t_enc = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        streams = encode_all()
+        t_encs.append(time.perf_counter() - t0)
+    t_enc = sorted(t_encs)[reps // 2]
 
     # ---- timed decode ----
-    t0 = time.perf_counter()
+    t_decs = []
     for _ in range(reps):
-        all_decs = decode_all(all_streams)
-    t_dec = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        decs = decode_all(streams)
+        t_decs.append(time.perf_counter() - t0)
+    t_dec = sorted(t_decs)[reps // 2]
 
-    ok = all(
-        np.array_equal(d, im)
-        for batch, dec_batch in zip(batches, all_decs)
-        for im, d in zip(batch, dec_batch)
-    )
-    streams = [s for group in all_streams for s in group]
+    ok = all(np.array_equal(d, im) for im, d in zip(imgs, decs))
+
+    # ---- profile 3 (ratio flagship): corpus bits + round-trip ----
+    from nblic_tpu.models import strips
+
+    p3_streams = []
+    t0 = time.perf_counter()
+    for i in range(0, len(imgs), 6):
+        p3_streams += strips.encode_batch(imgs[i : i + 6])
+    t_p3_enc = time.perf_counter() - t0
+    p3_bpp = 8.0 * sum(len(s) for s in p3_streams) / n_px
+    t0 = time.perf_counter()
+    p3_decs = strips.decode_batch(p3_streams)
+    t_p3_dec = time.perf_counter() - t0
+    p3_ok = all(np.array_equal(d, im) for im, d in zip(imgs, p3_decs))
+
+    # batch per distinct shape for the marginal device-compute loops below
+    groups: dict[tuple, list] = {}
+    for im in imgs:
+        norm = np.ascontiguousarray(im.T) if im.shape[0] > im.shape[1] else im
+        groups.setdefault(norm.shape, []).append(norm)
+    batches = list(groups.values())
+    all_streams = tiled.encode_batches(batches)
 
     # device-compute-only encode throughput. The tunnel costs ~250 ms per
     # program execution and block_until_ready is a no-op, so the only honest
@@ -175,6 +192,10 @@ def main() -> int:
         "e2e_encode_mpix_s": round(enc_mpix, 2),
         "e2e_decode_mpix_s": round(dec_mpix, 2),
         "bpp": round(bpp, 4),
+        "p3_bpp": round(p3_bpp, 4),
+        "p3_encode_mpix_s": round(n_px / t_p3_enc / 1e6, 2),
+        "p3_decode_mpix_s": round(n_px / t_p3_dec / 1e6, 2),
+        "p3_roundtrip_ok": bool(p3_ok),
         "ref_bpp": REF_BPP,
         "lossless_roundtrip_ok": bool(ok),
         "n_images": len(imgs),
@@ -182,12 +203,14 @@ def main() -> int:
         "decode_s": round(t_dec, 3),
         "note": (
             "device_* are marginal per-chip compute times (N encodes inside "
-            "one program); e2e_* include the axon tunnel's ~250 ms/program "
-            "and ~40-80 MB/s host link, which dominate at Kodak sizes"
+            "one program); e2e_* include the axon tunnel's ~25 ms/program "
+            "and ~40-50 MB/s host link, which dominate at Kodak sizes. "
+            "p3_* is the adaptive strip engine (ratio flagship; compare "
+            "p3_bpp against ref_bpp e2/e3)"
         ),
     }
     print(json.dumps(result))
-    return 0 if ok else 1
+    return 0 if ok and p3_ok else 1
 
 
 if __name__ == "__main__":

@@ -318,11 +318,47 @@ def predict_plane(strips, n: int = N_FEAT):
     # energy channel first: its E+F feeds every other channel's weight
     ef0 = run_chains(s_curr[None])[0]
     s_sum = ef0 + tdiv(s_curr * BETA, jnp.int64(BETA - 1))
-    contrib = contributions(
-        x.reshape(-1), feats.reshape(n, -1), s_curr.reshape(-1),
-        s_sum.reshape(-1), n,
-    )[1:].reshape(n + n * n, s, h, w)
-    stats = run_chains(contrib, first_beta=False)
+
+    # moment channels in blocks of n through the chains (lax.map):
+    # materializing all n + n^2 int64 channel planes at once is ~2 GB/image
+    # at n=10 and OOMs the chip on whole-image batches.  Channels are
+    # independent, and each block body reproduces ``contributions``
+    # (AVPupdate, NBLIC.c:242-270) exactly: vb_k = xf*feats_k, a_ij =
+    # feats_i*feats_j, with their respective fixed-point shifts.
+    xf = x - FIT_BASE
+    s_sum_c = jnp.clip(
+        s_sum + (jnp.int64(1) << FB1), jnp.int64(1) << FB1,
+        jnp.int64(16) << FB1,
+    )
+    half = s_sum_c >> 1
+    feats_ext = jnp.concatenate([xf[None], feats])  # (n+1, S, H, W)
+    left_idx = jnp.asarray(
+        [0] * n + [1 + i for i in range(n) for _ in range(n)], jnp.int32
+    )
+    right_idx = jnp.asarray(
+        [1 + k for k in range(n)]
+        + [1 + j for _ in range(n) for j in range(n)],
+        jnp.int32,
+    )
+    shifts = jnp.asarray(
+        [4 + FB1 + FB1] * n + [4 + FB2 + FB1] * (n * n), jnp.int64
+    )
+    nb_blk = (n + n * n) // n  # == 1 + n, exact
+
+    def block_stats(args):
+        lidx, ridx, shv = args
+        lf = jnp.take(feats_ext, lidx, axis=0)
+        rf = jnp.take(feats_ext, ridx, axis=0)
+        contrib = tdiv(
+            ((lf * rf) << shv[:, None, None, None]) + half, s_sum_c
+        )
+        return run_chains(contrib, first_beta=False)
+
+    stats = jax.lax.map(
+        block_stats,
+        (left_idx.reshape(nb_blk, n), right_idx.reshape(nb_blk, n),
+         shifts.reshape(nb_blk, n)),
+    ).reshape(n + n * n, s, h, w)
 
     stats_flat = jnp.concatenate(
         [ef0.reshape(1, -1), stats.reshape(n + n * n, -1)]
