@@ -74,10 +74,16 @@ def main() -> int:
     # ---- profile 3 (ratio flagship): corpus bits + round-trip ----
     from nblic_tpu.models import strips
 
-    p3_streams = []
+    def p3_encode_all():
+        out = []
+        for i in range(0, len(imgs), 6):
+            out += strips.encode_batch(imgs[i : i + 6])
+        return out
+
+    p3_streams = p3_encode_all()  # warmup (compile)
+    strips.decode_batch(p3_streams)
     t0 = time.perf_counter()
-    for i in range(0, len(imgs), 6):
-        p3_streams += strips.encode_batch(imgs[i : i + 6])
+    p3_streams = p3_encode_all()
     t_p3_enc = time.perf_counter() - t0
     p3_bpp = 8.0 * sum(len(s) for s in p3_streams) / n_px
     t0 = time.perf_counter()

@@ -148,6 +148,10 @@ def _gather_tables(y, qd, hist_n, acc):
 # interleave-group width: one shared-cursor stream per G tiles (profile 1)
 G_LANES = 128
 
+# near>0: bias-table refinement passes over the feedback scan (measured on
+# Kodak-24: 1 pass captures ~all of the gain, 2 adds <0.1%)
+NEAR_BIAS_ITERS = 1
+
 
 def _finish_encode_parts(y, qd, bias, g_lanes: int = G_LANES,
                          hist_in=None, valid=None):
@@ -222,9 +226,13 @@ def _encode_device_impl(tiles: jnp.ndarray):
     return _finish_encode_device(y, qd, bias)
 
 
-def _model_lossless2_impl(tiles: jnp.ndarray):
+def _model_lossless2_impl(tiles: jnp.ndarray, near: int = 0):
     """Profile-2 modeling: per-tile MXU least-squares predictors (ops/lsq.py)
-    raced against the blend predictor, winner transmitted per tile."""
+    raced against the blend predictor, winner transmitted per tile.
+
+    ``near`` only rescales the race's code-length proxy (residuals are
+    coded at magnitude ~|e|/(2*near+1)); the returned planes/bias are the
+    lossless proxies either way."""
     from ..ops import lsq
     from ..ops.neighbors import sample
     from ..ops.predict import (
@@ -243,7 +251,7 @@ def _model_lossless2_impl(tiles: jnp.ndarray):
     # the learned choices carry the ~24 B weight-transmission cost plus
     # slack for the context-model shift they induce.
     def bits(px):
-        e = jnp.abs(x - px).astype(jnp.float32)
+        e = jnp.abs(x - px).astype(jnp.float32) / (2.0 * near + 1.0)
         return jnp.sum(2.0 * jnp.log2(1.0 + e), axis=(1, 2))
 
     pen = jnp.float32(700.0)
@@ -278,15 +286,52 @@ def _encode_device2_impl(tiles: jnp.ndarray):
     )
 
 
-def _encode_near2_impl(tiles, th: int, tw: int, near: int):
+def _refine_near_bias(x, bias, wcols, th: int, tw: int, near: int,
+                      profile: int, n_iter: int):
+    """Re-estimate the transmitted bias from the feedback scan's own errors.
+
+    The proxy bias comes from lossless-stage errors, but near>0 quantization
+    feedback shifts the per-context error distribution (the causal window
+    holds reconstructed pixels).  Each iteration runs the feedback scan with
+    the current table and rebuilds the table from the (address, x - px0)
+    pairs the scan actually saw; the final table is transmitted, so the
+    decoder replay stays exact regardless of iteration count.
+    """
+    for _ in range(n_iter):
+        fn = functools.partial(
+            _tile_encode_scan, th=th, tw=tw, near=near, profile=profile,
+            stats=True,
+        )
+        _, _, adr, err, _ = jax.vmap(fn, in_axes=(0, None, 0))(x, bias, wcols)
+        bias = ctx_ops.build_static_bias(adr, err, Q_N_CONTEXT)
+    return bias
+
+
+def _encode_near2_impl(tiles, th: int, tw: int, near: int,
+                       n_iter: int = 1):
     """Near-lossless profile-2 encode: lossless-proxy predictor race, then
-    the reconstruction-feedback scan with the chosen per-tile predictors."""
-    _, _, bias, w_q, flags = _model_lossless2_impl(tiles)
-    wcols = jnp.concatenate(
-        [w_q, flags[:, None], jnp.zeros((tiles.shape[0], 3), jnp.int32)],
-        axis=1,
-    )
+    ``n_iter`` joint refinement passes — each runs the feedback scan and
+    rebuilds the transmitted bias from the scan's own errors AND refits the
+    learned per-tile predictors on the scan's *reconstructed* windows
+    (targets stay the originals), so both tables match what the decoder
+    will actually see — then the final reconstruction-feedback scan."""
+    from ..ops import lsq
+
+    _, _, bias, w_q, flags = _model_lossless2_impl(tiles, near)
     x = tiles.astype(jnp.int32)
+    zeros3 = jnp.zeros((tiles.shape[0], 3), jnp.int32)
+    fn_stats = functools.partial(
+        _tile_encode_scan, th=th, tw=tw, near=near, profile=2, stats=True
+    )
+    for _ in range(n_iter):
+        wcols = jnp.concatenate([w_q, flags[:, None], zeros3], axis=1)
+        _, _, adr, err, rec = jax.vmap(fn_stats, in_axes=(0, None, 0))(
+            x, bias, wcols
+        )
+        bias = ctx_ops.build_static_bias(adr, err, Q_N_CONTEXT)
+        w_new, valid = lsq.fit_tile_weights(rec, target=x)
+        w_q = jnp.where((valid & (flags > 0))[:, None], w_new, w_q)
+    wcols = jnp.concatenate([w_q, flags[:, None], zeros3], axis=1)
     fn = functools.partial(
         _tile_encode_scan, th=th, tw=tw, near=near, profile=2
     )
@@ -298,7 +343,8 @@ def _encode_near2_impl(tiles, th: int, tw: int, near: int):
 _encode_device_batch = jax.jit(jax.vmap(_encode_device_impl))
 _encode_device2_batch = jax.jit(jax.vmap(_encode_device2_impl))
 _finish_encode_jit = jax.jit(_finish_encode_device)
-_encode_near2_jit = jax.jit(_encode_near2_impl, static_argnums=(1, 2, 3))
+_encode_near2_jit = jax.jit(_encode_near2_impl, static_argnums=(1, 2, 3, 4))
+_refine_near_jit = jax.jit(_refine_near_bias, static_argnums=(3, 4, 5, 6, 7))
 
 # ---------------------------------------------------------------------------
 # compact batch encode: one small transfer buffer for the whole batch
@@ -464,13 +510,19 @@ def _tile_decode_scan(words, bias, hist_n, acc, lut_flat, th: int, tw: int, near
 
 
 def _tile_encode_scan(tile, bias, wvec, th: int, tw: int, near: int,
-                      profile: int = 1):
+                      profile: int = 1, stats: bool = False):
     """Near-lossless modeling scan for one tile: reconstruction feedback.
 
     Returns (y, qd) planes; window slides on *reconstructed* pixels so the
     decoder replays the identical chain (NBLIC's in-place feedback analog,
     NBLIC.c:876,915-916).  ``wvec`` (16,): per-tile learned-predictor
     weights + flag (profile 2; ignored at profile 1).
+
+    ``stats=True`` additionally returns the (adr, x_orig - px0, x_rec)
+    planes the scan observed, so the encoder can rebuild the transmitted
+    bias table from the *feedback* error distribution (which near>0
+    quantization shifts away from the lossless proxy), refit the learned
+    predictor on the reconstructed windows, and run the scan again.
     """
     from ..ops import lsq
     from ..ops.neighbors import Neighbors
@@ -513,7 +565,8 @@ def _tile_encode_scan(tile, bias, wvec, th: int, tw: int, near: int,
             err = x_rec - px0
             rec_row = rec_row.at[j].set(x_rec)
             regs = slide_window(regs, x_rec, i, j, prev1, prev2, tw)
-            return (regs, err, rec_row), (y, qd)
+            out = (y, qd, adr, x_orig - px0, x_rec) if stats else (y, qd)
+            return (regs, err, rec_row), out
 
         row0 = jnp.zeros((tw,), jnp.int32)
         (_, _, rec_row), outs = jax.lax.scan(
@@ -524,8 +577,8 @@ def _tile_encode_scan(tile, bias, wvec, th: int, tw: int, near: int,
         return (rec_row, prev1), outs
 
     init = (jnp.zeros((tw,), jnp.int32), jnp.zeros((tw,), jnp.int32))
-    _, (y, qd) = jax.lax.scan(row_body, init, jnp.arange(th, dtype=jnp.int32))
-    return y, qd
+    _, outs = jax.lax.scan(row_body, init, jnp.arange(th, dtype=jnp.int32))
+    return outs
 
 
 def _group_decode_scan(stream, n_active, bias, hist_n, acc, lut_flat,
@@ -709,15 +762,20 @@ def encode(
     profile = 2 if effort >= 2 else 1
 
     if profile == 1:
-        # encoder-side bias estimate from the lossless stage (any transmitted
-        # table is decodable; the scan replays whatever we send)
+        # encoder-side bias estimate from the lossless stage, refined from
+        # the feedback scan's own errors (any transmitted table is
+        # decodable; the scan replays whatever we send)
         _, _, bias, _ = _model_lossless(tiles)
         wcols = jnp.zeros((tiles.shape[0], 16), jnp.int32)
+        bias = _refine_near_jit(
+            tiles.astype(jnp.int32), bias, wcols, tile_h, tile_w, near, 1,
+            NEAR_BIAS_ITERS,
+        )
         y, qd, _ = _model_near(tiles, bias, wcols, tile_h, tile_w, near, 1)
         packed = np.asarray(_finish_encode_jit(y, qd, bias))[None]
     else:
         packed = np.asarray(
-            _encode_near2_jit(tiles, tile_h, tile_w, near)
+            _encode_near2_jit(tiles, tile_h, tile_w, near, NEAR_BIAS_ITERS)
         )[None]
     return _unpack_containers(
         packed, 1, tiles.shape[0], h, w, tile_h, tile_w, near, profile

@@ -58,17 +58,23 @@ def _solve_spd(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return aug[:, :, n]
 
 
-def fit_tile_weights(tiles: jnp.ndarray):
+def fit_tile_weights(tiles: jnp.ndarray, target: jnp.ndarray | None = None):
     """Fit quantized predictor weights per tile.
 
-    tiles: (T, th, tw) int32.  Returns (w_q int32 (T, 12), valid bool (T,)).
+    tiles: (T, th, tw) int32 — the plane the causal feature windows are
+    sampled from.  ``target`` (same shape, default ``tiles``) is the plane
+    being predicted: near-lossless refits pass the pass-1 *reconstruction*
+    as ``tiles`` and the original as ``target``, so the fit sees the same
+    quantized windows the decoder will.  Returns (w_q int32 (T, 12),
+    valid bool (T,)).
     """
     x = tiles.astype(jnp.int32)
     n = jax.vmap(sample)(x)
     f = features(n).astype(jnp.float32)  # (T, th, tw, 12)
     t = x.shape[0]
     fm = f.reshape(t, -1, N_FEAT)
-    tgt = (x - MID_VAL).astype(jnp.float32).reshape(t, -1)
+    tgt_x = x if target is None else target.astype(jnp.int32)
+    tgt = (tgt_x - MID_VAL).astype(jnp.float32).reshape(t, -1)
     # normal equations on the MXU
     a = jnp.einsum("tpi,tpj->tij", fm, fm,
                    precision=jax.lax.Precision.HIGHEST)
