@@ -113,7 +113,7 @@ def main() -> int:
     def enc_loop(tiles, n):
         def body(_, acc):
             t = (tiles + (acc & 1).astype(jnp.uint8)).astype(jnp.uint8)
-            out = jax.vmap(tiled._encode_device_impl)(t)
+            out = tiled._encode_device_batch_impl(t)
             return out[0, :1]
 
         return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.int32))
@@ -207,14 +207,45 @@ def main() -> int:
         "n_images": len(imgs),
         "encode_s": round(t_enc, 3),
         "decode_s": round(t_dec, 3),
-        "note": (
-            "device_* are marginal per-chip compute times (N encodes inside "
-            "one program); e2e_* include the axon tunnel's ~25 ms/program "
-            "and ~40-50 MB/s host link, which dominate at Kodak sizes. "
-            "p3_* is the adaptive strip engine (ratio flagship; compare "
-            "p3_bpp against ref_bpp e2/e3)"
-        ),
     }
+
+    # measure the tunnel link at bench time: e2e is transfer-bound here, so
+    # record the physical floor next to the e2e numbers (decode must move
+    # 1 B/px down; encode moves 1 B/px up + the compact containers down)
+    mb = 9.4
+    probe = jnp.asarray(
+        np.random.default_rng(0).integers(
+            0, 2**31, size=(int(mb * 1e6) // 4,), dtype=np.int32
+        )
+    )
+    bump = jax.jit(lambda x: x + 1)
+    up_np = np.asarray(probe)
+    # device_put is lazy under the tunnel; force with a tiny fetch
+    t_up = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d = jax.device_put(up_np, jax.devices()[0])
+        np.asarray(bump(d)[:1])
+        t_up = min(t_up, max(time.perf_counter() - t0, 1e-9))
+    t_dn = 1e9
+    for _ in range(3):
+        r = bump(probe)
+        t0 = time.perf_counter()
+        np.asarray(r)
+        t_dn = min(t_dn, time.perf_counter() - t0)
+    link_up = mb / t_up
+    link_dn = mb / t_dn
+    result["tunnel_up_MBps"] = round(link_up, 1)
+    result["tunnel_down_MBps"] = round(link_dn, 1)
+    result["e2e_decode_link_floor_mpix_s"] = round(link_dn, 1)  # 1 B/px down
+    result["note"] = (
+        "device_* are marginal per-chip compute times (N encodes inside "
+        "one program); e2e_* are bounded by the axon tunnel (~250 ms/launch "
+        "+ the tunnel_*_MBps link rates measured just now: decode must move "
+        "1 B/px down, so e2e decode cannot exceed the link floor on this "
+        "host). p3_* is the adaptive strip engine (ratio flagship; compare "
+        "p3_bpp against ref_bpp e2/e3)"
+    )
     print(json.dumps(result))
     return 0 if ok and p3_ok else 1
 

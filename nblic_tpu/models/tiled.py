@@ -126,8 +126,10 @@ def _gather_tables(y, qd, hist_n, acc):
     bilinear one-hot contraction runs on the MXU instead.  Tables are <=
     2^15 so float32 at HIGHEST precision is exact.
     """
-    p = y.size
     idx = (qd.reshape(-1) * N_SYM + y.reshape(-1)).astype(jnp.int32)
+    # f32 one-hots: bf16 byte-split variants win un-batched (~1.7x) but
+    # collapse ~5x under the per-image vmap (batched bf16 dots fall off the
+    # MXU fast path on v5e) — measured both; keep f32 here
     table = jnp.stack([hist_n.reshape(-1), acc.reshape(-1)], -1)
     t3 = table.reshape(24, 128, 2).astype(jnp.float32)
     rows = jax.nn.one_hot(idx >> 7, 24, dtype=jnp.float32)
@@ -153,15 +155,29 @@ G_LANES = 128
 NEAR_BIAS_ITERS = 1
 
 
-def _finish_encode_parts(y, qd, bias, g_lanes: int = G_LANES,
-                         hist_in=None, valid=None):
-    """Histogram build/normalize + rANS fold + interleaved group packing.
+def _fold_streams(freq, facc):
+    """rANS fold: Mosaic kernel on real TPUs, lax.scan elsewhere.
 
-    Shared tail of the lossless and near-lossless encoders.  Returns
-    ``(totals, bias, hist_n, flat32)`` with ``flat32`` the (n_groups,
-    cap32) worst-case-capacity payload buffers (u16 word pairs packed in
-    int32) — the batch compactor gathers the live prefixes of these into
-    one small transfer buffer.
+    Bit-identical either way (ops/pallas_fold.py is tested against
+    ops/rans.py encode_scan); the kernel amortizes the scan's fixed
+    per-step cost (~5x on the Kodak batch).
+    """
+    if _use_pallas() and freq.ndim == 2 and freq.shape[1] % 256 == 0:
+        from ..ops import pallas_fold
+
+        return pallas_fold.encode_fold(
+            freq.astype(jnp.int32), facc.astype(jnp.int32)
+        )
+    return rans.encode_scan(freq, facc)
+
+
+def _encode_tables(y, qd, bias, g_lanes: int = G_LANES,
+                   hist_in=None, valid=None):
+    """Histogram build/normalize + per-pixel (freq, facc) table gather.
+
+    First half of the encode tail; returns (freq, facc, hist_n) with the
+    lane axis padded to a multiple of ``g_lanes`` (pad lanes are identity
+    symbols that encode nothing).
 
     ``g_lanes`` sets the interleave-group width (the container records it);
     the SPMD path passes its per-shard tile count so groups stay
@@ -195,35 +211,92 @@ def _finish_encode_parts(y, qd, bias, g_lanes: int = G_LANES,
             [freq, jnp.full((t_pad - t, l), NORM_SUM, freq.dtype)]
         )
         facc = jnp.concatenate([facc, jnp.zeros((t_pad - t, l), facc.dtype)])
+    return freq, facc, hist_n
 
-    words, emits, state = rans.encode_scan(freq, facc)
+
+def _pack_groups(words, emits, state, g_lanes: int = G_LANES):
+    """Interleave-pack a fold's outputs into per-group payload buffers."""
+    s, l = words.shape
+    n_groups = s // g_lanes
     flats, totals = jax.vmap(rans.interleave_pack)(
         words.reshape(n_groups, g_lanes, l),
         emits.reshape(n_groups, g_lanes, l),
         state.reshape(n_groups, g_lanes),
     )
     flat32 = flats[:, 0::2] | (flats[:, 1::2] << 16)
+    return totals, flat32
+
+
+def _finish_encode_parts(y, qd, bias, g_lanes: int = G_LANES,
+                         hist_in=None, valid=None,
+                         allow_pallas: bool = True):
+    """Encode tail for ONE image: tables + rANS fold + group packing.
+
+    Returns ``(totals, bias, hist_n, flat32)`` with ``flat32`` the
+    (n_groups, cap32) worst-case-capacity payload buffers (u16 word pairs
+    packed in int32) — the batch compactor gathers the live prefixes of
+    these into one small transfer buffer.  Batch encoders call the pieces
+    directly so the fold runs ONCE over all images' lanes (the Mosaic fold
+    kernel must sit outside any vmap).
+    """
+    freq, facc, hist_n = _encode_tables(y, qd, bias, g_lanes, hist_in, valid)
+    words, emits, state = (
+        _fold_streams(freq, facc) if allow_pallas
+        else rans.encode_scan(freq, facc)
+    )
+    totals, flat32 = _pack_groups(words, emits, state, g_lanes)
     return totals, bias, hist_n, flat32
 
 
 def _finish_encode_device(y, qd, bias, g_lanes: int = G_LANES,
-                          hist_in=None, valid=None):
+                          hist_in=None, valid=None,
+                          allow_pallas: bool = True):
     """One packed int32 buffer per image (worst-case payload capacity):
       [ group totals (n_groups) | bias (3072) | hist_n (12*256) |
         group payloads (n_groups * cap_g/2 packed u16 pairs) ]
     """
     totals, bias, hist_n, flat32 = _finish_encode_parts(
-        y, qd, bias, g_lanes, hist_in, valid
+        y, qd, bias, g_lanes, hist_in, valid, allow_pallas
     )
     return jnp.concatenate(
         [totals, bias, hist_n.reshape(-1), flat32.reshape(-1)]
     )
 
 
+def _finish_encode_batch(y, qd, bias):
+    """Batched encode tail: per-image tables, ONE fold over all images'
+    lanes (keeps the Mosaic fold kernel out of vmap — batched Pallas calls
+    and batched bf16 dots both fall off the TPU fast paths), per-image
+    packing.  Returns (totals, bias, hist_n, flats32) with a leading image
+    axis, same as vmapping ``_finish_encode_parts``."""
+    freq, facc, hist_n = jax.vmap(_encode_tables)(y, qd, bias)
+    b, t_pad, l = freq.shape
+    words, emits, state = _fold_streams(
+        freq.reshape(b * t_pad, l), facc.reshape(b * t_pad, l)
+    )
+    totals, flats32 = jax.vmap(_pack_groups)(
+        words.reshape(b, t_pad, l),
+        emits.reshape(b, t_pad, l),
+        state.reshape(b, t_pad),
+    )
+    return totals, bias, hist_n, flats32
+
+
 def _encode_device_impl(tiles: jnp.ndarray):
     """Whole lossless encode as ONE device program (no host round trips)."""
     y, qd, bias, _ = _model_lossless_impl(tiles)
     return _finish_encode_device(y, qd, bias)
+
+
+def _encode_device_batch_impl(tiles: jnp.ndarray):
+    """Batched worst-case-capacity encode; one fold program for the batch."""
+    y, qd, bias, _ = jax.vmap(_model_lossless_impl)(tiles)
+    totals, bias_o, hist_n, flats32 = _finish_encode_batch(y, qd, bias)
+    b = tiles.shape[0]
+    return jnp.concatenate(
+        [totals, bias_o, hist_n.reshape(b, -1), flats32.reshape(b, -1)],
+        axis=1,
+    )
 
 
 def _model_lossless2_impl(tiles: jnp.ndarray, near: int = 0):
@@ -340,8 +413,19 @@ def _encode_near2_impl(tiles, th: int, tw: int, near: int,
     return jnp.concatenate([packed, w_q.reshape(-1), flags])
 
 
-_encode_device_batch = jax.jit(jax.vmap(_encode_device_impl))
-_encode_device2_batch = jax.jit(jax.vmap(_encode_device2_impl))
+def _encode_device2_batch_impl(tiles: jnp.ndarray):
+    y, qd, bias, w_q, flags = jax.vmap(_model_lossless2_impl)(tiles)
+    totals, bias_o, hist_n, flats32 = _finish_encode_batch(y, qd, bias)
+    b = tiles.shape[0]
+    return jnp.concatenate(
+        [totals, bias_o, hist_n.reshape(b, -1), flats32.reshape(b, -1),
+         w_q.reshape(b, -1), flags.reshape(b, -1)],
+        axis=1,
+    )
+
+
+_encode_device_batch = jax.jit(_encode_device_batch_impl)
+_encode_device2_batch = jax.jit(_encode_device2_batch_impl)
 _finish_encode_jit = jax.jit(_finish_encode_device)
 _encode_near2_jit = jax.jit(_encode_near2_impl, static_argnums=(1, 2, 3, 4))
 _refine_near_jit = jax.jit(_refine_near_bias, static_argnums=(3, 4, 5, 6, 7))
@@ -408,9 +492,7 @@ def _encode_batch_compact_impl(tiles, profile: int, cap32: int):
         y, qd, bias, w_q, flags = jax.vmap(_model_lossless2_impl)(tiles)
     else:
         y, qd, bias, _ = jax.vmap(_model_lossless_impl)(tiles)
-    totals, bias_o, hist_n, flats32 = jax.vmap(_finish_encode_parts)(
-        y, qd, bias
-    )
+    totals, bias_o, hist_n, flats32 = _finish_encode_batch(y, qd, bias)
     b, n_groups, cap_full = flats32.shape
     compact = _compact_payloads(
         flats32.reshape(b * n_groups, cap_full),

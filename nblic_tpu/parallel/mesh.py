@@ -151,8 +151,12 @@ def _encode_full_local(tiles, g_lanes: int, t_real: int):
         )
         hist = hist.at[0].add(-jnp.sum(~vmask.reshape(-1)))
         hist = jax.lax.psum(hist.reshape(N_QD, N_SYM), "tiles")
+        # allow_pallas=False: this call sits under shard_map + vmap, where
+        # a batched Mosaic fold would fall off the fast path (and the CPU
+        # mesh tests have no Mosaic at all)
         packed = tiled._finish_encode_device(
-            y, qd, bias, g_lanes=g_lanes, hist_in=hist, valid=valid
+            y, qd, bias, g_lanes=g_lanes, hist_in=hist, valid=valid,
+            allow_pallas=False,
         )
         return packed
 

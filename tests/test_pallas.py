@@ -63,3 +63,33 @@ class TestPallasDecode:
         p = tiled._Parsed(stream)
         assert len(p.counts) > 1
         np.testing.assert_array_equal(_pallas_decode(stream), img)
+
+
+class TestPallasFold:
+    """Mosaic rANS encode fold vs ops/rans.encode_scan (interpret mode)."""
+
+    def test_matches_encode_scan(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from nblic_tpu.ops import pallas_fold, rans
+
+        s, l = 200, 512
+        freq = rng.integers(1, 32768, size=(s, l)).astype(np.uint32)
+        freq[:5] = 32768  # identity lanes (pad-lane case)
+        acc = rng.integers(0, 1 << 14, size=(s, l)).astype(np.uint32)
+        acc[:5] = 0
+        w1, e1, s1 = jax.jit(rans.encode_scan)(
+            jnp.asarray(freq), jnp.asarray(acc)
+        )
+        w2, e2, s2 = pallas_fold.encode_fold(
+            jnp.asarray(freq.astype(np.int32)),
+            jnp.asarray(acc.astype(np.int32)),
+            True,  # interpret
+        )
+        e1 = np.asarray(e1)
+        np.testing.assert_array_equal(e1, np.asarray(e2))
+        np.testing.assert_array_equal(
+            np.asarray(w1)[e1], np.asarray(w2)[e1]
+        )
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
