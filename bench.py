@@ -75,9 +75,10 @@ def main() -> int:
     from nblic_tpu.models import strips
 
     def p3_encode_all():
+        groups = [imgs[i : i + 6] for i in range(0, len(imgs), 6)]
         out = []
-        for i in range(0, len(imgs), 6):
-            out += strips.encode_batch(imgs[i : i + 6])
+        for streams in strips.encode_batches(groups):
+            out += streams
         return out
 
     p3_streams = p3_encode_all()  # warmup (compile)

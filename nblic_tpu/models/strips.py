@@ -283,12 +283,8 @@ def encode(img: np.ndarray, th: int = TH_DEFAULT) -> bytes:
     return encode_batch([img], th=th)[0]
 
 
-def encode_batch(imgs, th: int = TH_DEFAULT) -> list[bytes]:
-    """Encode images in one device program (lossless).
-
-    Portrait images are transposed to landscape first (per-image header
-    flag), so a mixed-orientation corpus batches as long as the normalized
-    shapes agree."""
+def _encode_dispatch(imgs, th: int):
+    """Launch the model + code device programs for one same-shape batch."""
     imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
     dims = [im.shape for im in imgs]
     tflags = [h > w for h, w in dims]
@@ -311,17 +307,23 @@ def encode_batch(imgs, th: int = TH_DEFAULT) -> list[bytes]:
         if len(imgs) == 1:
             planes = _model_jit(jnp.asarray(strips[0]), AVP_N)
             len_d, flat_d = _code_jit(*planes)
-            lens, flats = len_d[None], flat_d[None]
+            lens_d, flats_d = len_d[None], flat_d[None]
         else:
             planes = _model_batch_jit(jnp.asarray(strips), AVP_N)
-            lens, flats = _code_batch_jit(*planes)
-        lens = np.asarray(lens, np.uint32)
-        totals = [int((m.sum() + 1) // 2) for m in lens.astype(np.int64)]
-        # fetch only the live prefix of each packed stream (the padded fold
-        # buffer is ~40x the compressed size; the tunnel is the bottleneck)
-        flat_np = np.asarray(flats[:, : max(totals)])
+            lens_d, flats_d = _code_batch_jit(*planes)
+    return (lens_d, flats_d, dims, tflags, s, th)
+
+
+def _encode_finalize(work) -> list[bytes]:
+    """Fetch a dispatched batch (lengths, then only each packed stream's
+    live prefix — the padded fold buffer is ~40x the compressed size and
+    the tunnel is the bottleneck) and emit containers."""
+    lens_d, flats_d, dims, tflags, s, th = work
+    lens = np.asarray(lens_d, np.uint32)
+    totals = [int(m.sum() + 1) // 2 for m in lens.astype(np.int64)]
+    flat_np = np.asarray(flats_d[:, : max(totals)])
     out = []
-    for b, im in enumerate(imgs):
+    for b in range(len(dims)):
         n_words = int(lens[b].astype(np.int64).sum())
         w32 = flat_np[b, : (n_words + 1) // 2].astype(np.uint32)
         u16 = np.empty(w32.size * 2, np.uint16)
@@ -332,6 +334,25 @@ def encode_batch(imgs, th: int = TH_DEFAULT) -> list[bytes]:
                        th, tflags[b])
         )
     return out
+
+
+def encode_batch(imgs, th: int = TH_DEFAULT) -> list[bytes]:
+    """Encode images in one device program (lossless).
+
+    Portrait images are transposed to landscape first (per-image header
+    flag), so a mixed-orientation corpus batches as long as the normalized
+    shapes agree."""
+    return _encode_finalize(_encode_dispatch(imgs, th))
+
+
+def encode_batches(image_groups, th: int = TH_DEFAULT) -> list[list[bytes]]:
+    """Encode several batches, pipelining the device programs.
+
+    Dispatch is asynchronous under the tunnel; issuing every group's
+    model+code programs before the first fetch overlaps their launch and
+    transfer costs (same pattern as models/tiled.encode_batches)."""
+    works = [_encode_dispatch(g, th) for g in image_groups]
+    return [_encode_finalize(w) for w in works]
 
 
 # ---------------------------------------------------------------------------
@@ -350,6 +371,9 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
     (lanes, th, w) int32 pixels.
     """
     lanes = n_imgs * s
+    # streams arrive as int16 (halves the host upload); widen on device
+    if smat.dtype == jnp.int16:
+        smat = smat.astype(jnp.int32) & 0xFFFF
     n = n_feat
     m = pavp.get_m(n)
     n_class = 256 >> zcodec3.layer_consts(K_STEP).k_max
@@ -544,7 +568,13 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
         jnp.zeros((n_imgs, Q_N_CONTEXT), jnp.int32),
     )
     _, rows = jax.lax.scan(row_body, init, jnp.arange(th, dtype=jnp.int32))
-    return jnp.moveaxis(rows, 0, 1)  # (lanes, th, w)
+    px = jnp.moveaxis(rows, 0, 1)  # (lanes, th, w)
+    if w % 4 == 0:
+        # 4 px per int32 for the fetch (the tunnel moves uint8 at half the
+        # int32 byte rate; host side unpacks with .view(np.uint8))
+        return (px[..., 0::4] | (px[..., 1::4] << 8)
+                | (px[..., 2::4] << 16) | (px[..., 3::4] << 24))
+    return px
 
 
 def _gather_prob(uprob, row, cls: int):
@@ -616,7 +646,7 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
     wmax = -(-wmax // 64) * 64
     smat = np.concatenate(
         [rans.pad_streams(p[3], p[2], wmax) for p in parsed]
-    ).astype(np.int32)
+    ).astype(np.uint16).view(np.int16)  # int16 upload, widened on device
     if adaptive:
         bias = np.zeros((n_imgs, Q_N_CONTEXT), np.int32)
     else:
@@ -628,6 +658,10 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
                 jnp.asarray(bias),
                 th, ww, s, n_imgs, adaptive, n_feat,
             )
+        )
+    if ww % 4 == 0:  # 4-px/int32 packed fetch (LE bytes are the pixels)
+        px = np.ascontiguousarray(px).view(np.uint8).reshape(
+            px.shape[0], th, ww
         )
     out = []
     for b in range(n_imgs):
