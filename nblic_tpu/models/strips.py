@@ -54,6 +54,12 @@ AVP_N = 10          # feature count of the parallel AVP (reference -e3 class,
                     # N_LIST[3], NBLIC.c:88); containers record it so older
                     # 6-feature streams still decode
 K_STEP = 3          # lossless k_step (NBLIC.c:769 at near=0)
+
+
+def _k_step(near: int) -> int:
+    """k_step from near, the reference rule (NBLIC.c:769):
+    CLIP(MIN_K_STEP + 2*near, MIN_K_STEP, N_QD)."""
+    return min(K_STEP + 2 * near, zcodec3.N_ROW)
 N_PHASE = rans_bin.N_PHASE
 L_U = zcodec3.N_UNARY
 L_R = zcodec3.ESCAPE_BITS  # refine grid carries the escape bypass bits too
@@ -86,12 +92,13 @@ def _refine_prob_plane(rtab_prob, row_end, kk, msb):
     return jnp.where(msb == 1, p1, p0).astype(jnp.int32)
 
 
-def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r):
+def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
+              k_step: int = K_STEP):
     """One row of the coding model: per-slot (prob, bin, mask) + new state.
 
     All row planes are (L, W).  The decoder calls this with its *decoded*
     row to replay the adaptive-state transition bit-exactly."""
-    lc = zcodec3.layer_consts(K_STEP)
+    lc = zcodec3.layer_consts(k_step)
     ranks, _ = coder3.mapper_ranks(mhist)
     z = jnp.where(
         y_r < coder3.N_MAP,
@@ -99,7 +106,7 @@ def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r):
         y_r,
     )
     unary, row_end, k_end, escaped = zcodec3.unary_layers(
-        z, qu_r, qv_r, K_STEP
+        z, qu_r, qv_r, k_step
     )
     refine = zcodec3.refine_layers(z, k_end, escaped)
 
@@ -127,13 +134,74 @@ def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r):
         masks.append(act | escaped)
 
     utab, rtab = coder3.row_updates(
-        utab, rtab, qw_r, unary, refine, row_end, k_end, K_STEP
+        utab, rtab, qw_r, unary, refine, row_end, k_end, k_step
     )
     mhist = coder3.mapper_updates(mhist, img_of_lane, key_r, y_r)
     return (
         (jnp.stack(probs), jnp.stack(bins), jnp.stack(masks)),
         (utab, rtab, mhist),
     )
+
+
+# ---------------------------------------------------------------------------
+# shared per-pixel modeling (near-lossless feedback encoder == decoder)
+# ---------------------------------------------------------------------------
+
+
+def _pixel_features(regs, prev1, err, f_row_j, e_acc, i, j, w: int, n: int):
+    """Per-pixel prediction + contexts from the causal (reconstructed)
+    window: AVP over the running moment chains with the simple-predictor
+    fallback, activity quantizers, and the context address.  This is the
+    single definition both the near-lossless feedback encoder and the
+    decoder replay (any drift breaks the round-trip)."""
+    nb = Neighbors(*regs)
+    px_s = simple_predict(nb)
+    # t tap (features 7+): img[i-1, j+2] from the previous (reconstructed)
+    # row, falling back to d out of range (pavp.predict_plane)
+    t_col = jax.lax.dynamic_slice_in_dim(
+        prev1, jnp.minimum(j + 2, w - 1), 1, axis=1
+    )[:, 0]
+    t_tap = jnp.where((i >= 1) & (j + 2 < w), t_col, nb.d)
+    feats = jnp.stack(
+        [v.astype(jnp.int64) - pavp.FIT_BASE
+         for v in (nb.a, nb.b, nb.c, nb.d, nb.e, nb.f, t_tap,
+                   nb.h, nb.q, nb.g)[:n]]
+    )
+    stats = e_acc + f_row_j
+    px_f, ok = pavp.predict_from_stats(stats, feats, n)
+    px0 = ((px_f + (1 << (pavp.FB1 - 1))) >> pavp.FB1).astype(jnp.int32)
+    px0 = jnp.where(ok, px0, px_s)
+    delta = activity(nb, err)
+    qd12 = quantize_activity(delta)
+    qu, qv, qw = n_quantize_activity(delta)
+    adr = context_address(nb, px0, qd12)
+    return nb, px_s, feats, stats, px0, qu, qv, qw, adr
+
+
+def _pixel_correct(px0, bias):
+    """Bias-corrected prediction + mapper key (NBLIC.c:398-428 analog)."""
+    sign = (bias >> (ctx_ops.BIAS_FRAC_BITS - 1)) & 1
+    pxc = jnp.clip(px0 + (bias >> ctx_ops.BIAS_FRAC_BITS) + sign, 0, MAX_VAL)
+    return sign, pxc, pxc * 2 + sign
+
+
+def _pixel_update(x, px_s, feats, stats, e_acc, b_row, j, ab, n: int):
+    """Fold the (reconstructed) pixel into the AVP moment chains
+    (s_curr proxy = simple-predictor error)."""
+    s_curr = jnp.abs(x - px_s).astype(jnp.int64) << pavp.FB1
+    s_sum = stats[0] + pavp.tdiv(
+        s_curr * pavp.BETA, jnp.int64(pavp.BETA - 1)
+    )
+    contrib = pavp.contributions(
+        x.astype(jnp.int64), feats, s_curr, s_sum, n
+    )
+    b_col = b_row[:, :, j]
+    b_col = pavp.tdiv(b_col * (ab - 1) + (ab >> 1), ab) + contrib
+    e_acc = pavp.tdiv(e_acc * (ab - 1) + (ab >> 1), ab) + b_col
+    b_row = jax.lax.dynamic_update_slice_in_dim(
+        b_row, b_col[:, :, None], j, 2
+    )
+    return e_acc, b_row
 
 
 # ---------------------------------------------------------------------------
@@ -237,6 +305,104 @@ def _code_impl(x, px0, adr, qu, qv, qw):
     return lengths, flat32
 
 
+def _code_near_impl(x, near: int, n_feat: int):
+    """Near-lossless feedback encode of one image's strips (s, th, w).
+
+    The reference's near mode reconstructs each pixel as it encodes and
+    predicts from the reconstruction (NBLIC.c:846-875); the parallel
+    whole-plane modeling of the lossless path is therefore unavailable.
+    This scan is the encoder twin of the decoder's per-pixel walk — the
+    modeling helpers (_pixel_features/_pixel_correct/_pixel_update) are
+    shared, only the bit source differs: here y comes from the true pixel
+    through the near-quantizing fold, there from the rANS streams.  The
+    coding model stays row-frozen (_row_code), so the entropy stage is
+    identical to lossless with k_step = 3 + 2*near (NBLIC.c:769).
+    """
+    s, th, w = x.shape
+    k_step = _k_step(near)
+    lc = zcodec3.layer_consts(k_step)
+    img_of_lane = jnp.zeros((s,), jnp.int32)
+    n = n_feat
+    m = pavp.get_m(n)
+    ab = pavp._ab_vec(m)
+    x = x.astype(jnp.int32)
+
+    def row_body(carry, inputs):
+        prev1, prev2, b_row, utab, rtab, mhist, bsums, bcnts = carry
+        i, x_row = inputs
+        btab = ctx_ops.quantize_bias(bsums, bcnts)
+        f_row = jnp.moveaxis(pavp.f_chain(jnp.moveaxis(b_row, 2, 0)), 0, 2)
+        regs0 = row_start_window(i, prev1, prev2, w)
+
+        def col_body(ccarry, inp):
+            regs, err, e_acc, b_row = ccarry
+            j, x_col = inp
+            nb, px_s, feats, stats, px0, qu, qv, qw, adr = _pixel_features(
+                regs, prev1, err, f_row[:, :, j], e_acc, i, j, w, n
+            )
+            bias = jnp.take(btab, adr)
+            sign, pxc, key = _pixel_correct(px0, bias)
+            y = ctx_ops.residual_fold(x_col, pxc, sign, near)
+            xr = ctx_ops.residual_unfold(y, pxc, sign, near)
+            err2 = jnp.clip(xr - px0, -MAX_PX_INC, MAX_PX_INC)
+            e_acc, b_row = _pixel_update(
+                xr, px_s, feats, stats, e_acc, b_row, j, ab, n
+            )
+            regs = slide_window(regs, xr, i, j, prev1, prev2, w)
+            return (
+                (regs, err2, e_acc, b_row),
+                (xr, y, qu, qv, qw, key, adr, px0),
+            )
+
+        e0 = jnp.zeros((m, s), jnp.int64)
+        (_, _, _, b_row), cols = jax.lax.scan(
+            col_body,
+            (regs0, jnp.zeros((s,), jnp.int32), e0, b_row),
+            (jnp.arange(w, dtype=jnp.int32), jnp.moveaxis(x_row, 1, 0)),
+        )
+        xr_r, y_r, qu_r, qv_r, qw_r, key_r, adr_r, px0_r = [
+            jnp.moveaxis(v, 0, 1) for v in cols
+        ]
+        slots, (utab, rtab, mhist) = _row_code(
+            utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
+            k_step,
+        )
+        bsums, bcnts = _bias_update(bsums, bcnts, adr_r, xr_r - px0_r)
+        return (
+            (xr_r, prev1, b_row, utab, rtab, mhist, bsums, bcnts),
+            slots,
+        )
+
+    init = (
+        jnp.zeros((s, w), jnp.int32),
+        jnp.zeros((s, w), jnp.int32),
+        jnp.zeros((m, s, w), jnp.int64),
+        coder3.init_unary(s, lc.n_class),
+        coder3.init_refine(s),
+        coder3.init_mapper(1),
+        jnp.zeros((Q_N_CONTEXT,), jnp.int32),
+        jnp.zeros((Q_N_CONTEXT,), jnp.int32),
+    )
+    _, (probs, bins, masks) = jax.lax.scan(
+        row_body, init,
+        (jnp.arange(th, dtype=jnp.int32), jnp.moveaxis(x, 1, 0)),
+    )
+
+    def fold_layout(a):
+        # (TH, L, S, W) -> per-lane slot order (r, c, l) -> phase-major rows
+        a = a.transpose(2, 0, 3, 1).reshape(s, th * w * L_TOT)
+        a = a.reshape(s, -1, N_PHASE).transpose(0, 2, 1)
+        return a.reshape(s * N_PHASE, -1)
+
+    words, emits, state = rans_bin.fold(
+        fold_layout(probs), fold_layout(bins), fold_layout(masks)
+    )
+    flat, lengths = rans.pack_streams(words, emits, state)
+    flat = flat.astype(jnp.int32)
+    flat32 = flat[0::2] | (flat[1::2] << 16)
+    return lengths, flat32
+
+
 # the encode runs as two device programs (modeling | coding): each compiles
 # in minutes rather than the single fused program's hours on the remote
 # TPU compiler, and both cache independently
@@ -246,6 +412,11 @@ _model_batch_jit = jax.jit(
 )
 _code_jit = jax.jit(_code_impl)
 _code_batch_jit = jax.jit(jax.vmap(_code_impl))
+_code_near_jit = jax.jit(_code_near_impl, static_argnums=(1, 2))
+_code_near_batch_jit = jax.jit(
+    jax.vmap(_code_near_impl, in_axes=(0, None, None)),
+    static_argnums=(1, 2),
+)
 
 
 def _to_strips(img: np.ndarray, th: int) -> np.ndarray:
@@ -255,14 +426,15 @@ def _to_strips(img: np.ndarray, th: int) -> np.ndarray:
     return padded.reshape(s, th, w)
 
 
-def _container(lengths, words, h0, w0, s, th, transposed) -> bytes:
+def _container(lengths, words, h0, w0, s, th, transposed,
+               near: int = 0) -> bytes:
     # bias_len == 0 marks the row-adaptive bias (nothing transmitted);
     # legacy containers carry a zlib'd static table there and still decode
     n_states = s * N_PHASE
     lengths = np.asarray(lengths, np.uint32)
     hdr = NbtcHeader(
         profile=PROFILE,
-        near=0,
+        near=near,
         height=h0,
         width=w0,
         tile_h=th,
@@ -278,12 +450,13 @@ def _container(lengths, words, h0, w0, s, th, transposed) -> bytes:
     )
 
 
-def encode(img: np.ndarray, th: int = TH_DEFAULT) -> bytes:
-    """Profile-3 lossless encode of one gray-8 image."""
-    return encode_batch([img], th=th)[0]
+def encode(img: np.ndarray, th: int = TH_DEFAULT, near: int = 0) -> bytes:
+    """Profile-3 encode of one gray-8 image (lossless, or near-lossless
+    with max per-pixel error ``near`` via the feedback scan)."""
+    return encode_batch([img], th=th, near=near)[0]
 
 
-def _encode_dispatch(imgs, th: int):
+def _encode_dispatch(imgs, th: int, near: int = 0):
     """Launch the model + code device programs for one same-shape batch."""
     imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
     dims = [im.shape for im in imgs]
@@ -304,21 +477,28 @@ def _encode_dispatch(imgs, th: int):
     strips = np.stack([_to_strips(im, th) for im in imgs])
     s = strips.shape[1]
     with jax.enable_x64():
-        if len(imgs) == 1:
+        if near:
+            xs = jnp.asarray(strips)
+            if len(imgs) == 1:
+                len_d, flat_d = _code_near_jit(xs[0], near, AVP_N)
+                lens_d, flats_d = len_d[None], flat_d[None]
+            else:
+                lens_d, flats_d = _code_near_batch_jit(xs, near, AVP_N)
+        elif len(imgs) == 1:
             planes = _model_jit(jnp.asarray(strips[0]), AVP_N)
             len_d, flat_d = _code_jit(*planes)
             lens_d, flats_d = len_d[None], flat_d[None]
         else:
             planes = _model_batch_jit(jnp.asarray(strips), AVP_N)
             lens_d, flats_d = _code_batch_jit(*planes)
-    return (lens_d, flats_d, dims, tflags, s, th)
+    return (lens_d, flats_d, dims, tflags, s, th, near)
 
 
 def _encode_finalize(work) -> list[bytes]:
     """Fetch a dispatched batch (lengths, then only each packed stream's
     live prefix — the padded fold buffer is ~40x the compressed size and
     the tunnel is the bottleneck) and emit containers."""
-    lens_d, flats_d, dims, tflags, s, th = work
+    lens_d, flats_d, dims, tflags, s, th, near = work
     lens = np.asarray(lens_d, np.uint32)
     totals = [int(m.sum() + 1) // 2 for m in lens.astype(np.int64)]
     flat_np = np.asarray(flats_d[:, : max(totals)])
@@ -331,27 +511,28 @@ def _encode_finalize(work) -> list[bytes]:
         u16[1::2] = w32 >> 16
         out.append(
             _container(lens[b], u16[:n_words], dims[b][0], dims[b][1], s,
-                       th, tflags[b])
+                       th, tflags[b], near)
         )
     return out
 
 
-def encode_batch(imgs, th: int = TH_DEFAULT) -> list[bytes]:
-    """Encode images in one device program (lossless).
+def encode_batch(imgs, th: int = TH_DEFAULT, near: int = 0) -> list[bytes]:
+    """Encode images in one device program (lossless or near-lossless).
 
     Portrait images are transposed to landscape first (per-image header
     flag), so a mixed-orientation corpus batches as long as the normalized
     shapes agree."""
-    return _encode_finalize(_encode_dispatch(imgs, th))
+    return _encode_finalize(_encode_dispatch(imgs, th, near))
 
 
-def encode_batches(image_groups, th: int = TH_DEFAULT) -> list[list[bytes]]:
+def encode_batches(image_groups, th: int = TH_DEFAULT,
+                   near: int = 0) -> list[list[bytes]]:
     """Encode several batches, pipelining the device programs.
 
     Dispatch is asynchronous under the tunnel; issuing every group's
     model+code programs before the first fetch overlaps their launch and
     transfer costs (same pattern as models/tiled.encode_batches)."""
-    works = [_encode_dispatch(g, th) for g in image_groups]
+    works = [_encode_dispatch(g, th, near) for g in image_groups]
     return [_encode_finalize(w) for w in works]
 
 
@@ -361,14 +542,16 @@ def encode_batches(image_groups, th: int = TH_DEFAULT) -> list[list[bytes]]:
 
 
 def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
-                 adaptive: bool = True, n_feat: int = AVP_N):
+                 adaptive: bool = True, n_feat: int = AVP_N,
+                 near: int = 0):
     """Lockstep decode: lanes = n_imgs * s strips, mirrors _encode_impl.
 
     smat: (lanes, N_PHASE, wmax) int32 per-state streams.  With
     ``adaptive`` the context-bias table is row-adaptive (replayed from
     decoded rows, bias_b ignored); otherwise bias_b: (n_imgs,
     Q_N_CONTEXT) int32 is the legacy transmitted table.  Returns
-    (lanes, th, w) int32 pixels.
+    (lanes, th, w) int32 pixels (the near-quantized reconstruction when
+    ``near`` > 0, replaying the encoder's feedback scan).
     """
     lanes = n_imgs * s
     # streams arrive as int16 (halves the host upload); widen on device
@@ -376,9 +559,10 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
         smat = smat.astype(jnp.int32) & 0xFFFF
     n = n_feat
     m = pavp.get_m(n)
-    n_class = 256 >> zcodec3.layer_consts(K_STEP).k_max
+    k_step = _k_step(near)
+    n_class = zcodec3.layer_consts(k_step).n_class
     img_of_lane = jnp.repeat(jnp.arange(n_imgs, dtype=jnp.int32), s)
-    lc = zcodec3.layer_consts(K_STEP)
+    lc = zcodec3.layer_consts(k_step)
     ab = pavp._ab_vec(m)
 
     state0, _ = rans_bin.dec_init(smat)
@@ -420,47 +604,23 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
 
         def col_body(ccarry, j):
             regs, err, row_px, e_acc, b_row, states, ptrs = ccarry
-            nb = Neighbors(*regs)
-            px_s = simple_predict(nb)
-            # t tap (features 7+): img[i-1, j+2] from the decoded previous
-            # row, falling back to d out of range (pavp.predict_plane)
-            t_col = jax.lax.dynamic_slice_in_dim(
-                prev1, jnp.minimum(j + 2, w - 1), 1, axis=1
-            )[:, 0]
-            t_tap = jnp.where((i >= 1) & (j + 2 < w), t_col, nb.d)
-            feats = jnp.stack(
-                [v.astype(jnp.int64) - pavp.FIT_BASE
-                 for v in (nb.a, nb.b, nb.c, nb.d, nb.e, nb.f, t_tap,
-                           nb.h, nb.q, nb.g)[:n]]
+            nb, px_s, feats, stats, px0, qu, qv, qw, adr = _pixel_features(
+                regs, prev1, err, f_row[:, :, j], e_acc, i, j, w, n
             )
-            stats = e_acc + f_row[:, :, j]
-            px_f, ok = pavp.predict_from_stats(stats, feats, n)
-            px0 = ((px_f + (1 << (pavp.FB1 - 1))) >> pavp.FB1).astype(
-                jnp.int32
-            )
-            px0 = jnp.where(ok, px0, px_s)
-            delta = activity(nb, err)
-            qd12 = quantize_activity(delta)
-            qu, qv, qw = n_quantize_activity(delta)
-            adr = context_address(nb, px0, qd12)
             bias = jnp.take_along_axis(
                 btab_b, adr.reshape(n_imgs, s), axis=1
             ).reshape(lanes)
-            sign = (bias >> (ctx_ops.BIAS_FRAC_BITS - 1)) & 1
-            pxc = jnp.clip(
-                px0 + (bias >> ctx_ops.BIAS_FRAC_BITS) + sign, 0, 255
-            )
-            key = pxc * 2 + sign
+            sign, pxc, key = _pixel_correct(px0, bias)
 
             # unary walk
-            qv2 = zcodec3.adjust_qv(qu, qv, K_STEP)
+            qv2 = zcodec3.adjust_qv(qu, qv, k_step)
             active = jnp.ones((lanes,), bool)
             stop_row = jnp.zeros((lanes,), jnp.int32)
             stopped = jnp.zeros((lanes,), bool)
             stop_layer = jnp.zeros((lanes,), jnp.int32)
             for l in range(L_U):
-                ru = zcodec3.escalated_row(qu, lc.esc_counts[l], K_STEP)
-                rv = zcodec3.escalated_row(qv2, lc.esc_counts[l], K_STEP)
+                ru = zcodec3.escalated_row(qu, lc.esc_counts[l], k_step)
+                rv = zcodec3.escalated_row(qv2, lc.esc_counts[l], k_step)
                 pu = _gather_prob(uprob, ru, lc.cls_vals[l])
                 pv = _gather_prob(uprob, rv, lc.cls_vals[l])
                 p1 = coder3.mix_prob(pu, pv, qw)
@@ -472,7 +632,7 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
                 active = active & (b == 1)
 
             escaped = active
-            k_end = jnp.where(stopped, stop_row // K_STEP, 0)
+            k_end = jnp.where(stopped, stop_row // k_step, 0)
             i_stop = jnp.zeros((lanes,), jnp.int32)
             for l in range(L_U):
                 i_stop = jnp.where(stop_layer == l, lc.i_vals[l], i_stop)
@@ -506,22 +666,12 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
             )[:, 0]
             y_small = jnp.take_along_axis(per_key, zc[:, None], axis=1)[:, 0]
             y = jnp.where(z < coder3.N_MAP, y_small, z)
-            x = ctx_ops.residual_unfold(y, pxc, sign, 0)
+            x = ctx_ops.residual_unfold(y, pxc, sign, near)
             err2 = jnp.clip(x - px0, -MAX_PX_INC, MAX_PX_INC)
 
             # AVP update (s_curr proxy = simple-predictor error)
-            s_curr = jnp.abs(x - px_s).astype(jnp.int64) << pavp.FB1
-            s_sum = stats[0] + pavp.tdiv(
-                s_curr * pavp.BETA, jnp.int64(pavp.BETA - 1)
-            )
-            contrib = pavp.contributions(
-                x.astype(jnp.int64), feats, s_curr, s_sum, n
-            )
-            b_col = b_row[:, :, j]
-            b_col = pavp.tdiv(b_col * (ab - 1) + (ab >> 1), ab) + contrib
-            e_acc = pavp.tdiv(e_acc * (ab - 1) + (ab >> 1), ab) + b_col
-            b_row = jax.lax.dynamic_update_slice_in_dim(
-                b_row, b_col[:, :, None], j, 2
+            e_acc, b_row = _pixel_update(
+                x, px_s, feats, stats, e_acc, b_row, j, ab, n
             )
 
             row_px = row_px.at[:, j].set(x)
@@ -544,7 +694,8 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
         ]
         # replay the adaptive-state transitions exactly as the encoder
         _, (utab, rtab, mhist) = _row_code(
-            utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r
+            utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
+            k_step,
         )
         if adaptive:
             idx = img_of_lane[:, None] * Q_N_CONTEXT + adr_r
@@ -588,7 +739,7 @@ def _gather_refine(rprob, row, kk, msb):
     return jnp.take_along_axis(t, msb[:, None], axis=1)[:, 0]
 
 
-_decode_jit = jax.jit(_decode_scan, static_argnums=(2, 3, 4, 5, 6, 7))
+_decode_jit = jax.jit(_decode_scan, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 
 
 def _parse(stream: bytes):
@@ -612,7 +763,7 @@ def _parse(stream: bytes):
     payload = np.frombuffer(stream, dtype=np.uint16, offset=pos)
     n_feat = (hdr.tile_w >> 4) or 6  # pre-AVP_N containers used 6 features
     geom = (hdr.height, hdr.width, hdr.n_tiles, hdr.tile_h,
-            bool(hdr.tile_w & 1), n_feat)
+            bool(hdr.tile_w & 1), n_feat, hdr.near)
     return geom, bias, lengths, payload
 
 
@@ -627,9 +778,9 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
     parsed = [_parse(x) for x in streams]
 
     def plane_geom(g):
-        h0, w0, s, th, transposed, n_feat = g
+        h0, w0, s, th, transposed, n_feat, near = g
         hh, ww = (w0, h0) if transposed else (h0, w0)
-        return (s, th, ww, n_feat)
+        return (s, th, ww, n_feat, near)
 
     # images of either orientation share the encoded-plane geometry (the
     # encoder transposes portraits); only the output crop/transpose differs
@@ -640,7 +791,7 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
         for p in parsed[1:]
     ):
         return [decode(x) for x in streams]
-    s, th, ww, n_feat = plane_geom(parsed[0][0])
+    s, th, ww, n_feat, near = plane_geom(parsed[0][0])
     n_imgs = len(streams)
     wmax = max(2, max(int(p[2].max()) for p in parsed))
     wmax = -(-wmax // 64) * 64
@@ -656,7 +807,7 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
             _decode_jit(
                 jnp.asarray(smat.reshape(n_imgs * s, N_PHASE, wmax)),
                 jnp.asarray(bias),
-                th, ww, s, n_imgs, adaptive, n_feat,
+                th, ww, s, n_imgs, adaptive, n_feat, near,
             )
         )
     if ww % 4 == 0:  # 4-px/int32 packed fetch (LE bytes are the pixels)
@@ -665,7 +816,7 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
         )
     out = []
     for b in range(n_imgs):
-        h0, w0, _, _, transposed, _ = parsed[b][0]
+        h0, w0, _, _, transposed, _, _ = parsed[b][0]
         hh = w0 if transposed else h0
         plane = px[b * s : (b + 1) * s].reshape(s * th, ww)[:hh]
         out.append(

@@ -837,6 +837,13 @@ def encode(
             [img], near=0, tile_h=tile_h, tile_w=tile_w, effort=effort
         )[0]
 
+    if effort >= 3:
+        # profile 3 codes near-lossless with its adaptive stack + per-pixel
+        # feedback scan (models/strips.py), like the reference's near mode
+        from . import strips
+
+        return strips.encode(img, near=near)
+
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape
     check_size(h, w)
@@ -1036,16 +1043,16 @@ def encode_batch(
     lockstep scans, so device fixed costs amortize across the batch.  Only
     lossless (near=0) is batched; near>0 falls back to per-image encode.
     """
+    if effort >= 3:
+        from . import strips
+
+        return strips.encode_batch(imgs, near=near)
     if near != 0:
         return [
             encode(im, near=near, tile_h=tile_h, tile_w=tile_w,
                    effort=min(effort, 2))
             for im in imgs
         ]
-    if effort >= 3:
-        from . import strips
-
-        return strips.encode_batch(imgs)
     profile = 2 if effort >= 2 else 1
     imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
     h, w = imgs[0].shape
@@ -1149,10 +1156,10 @@ def encode_corpus(imgs, near: int = 0,
     halves the program count vs per-orientation batches.  Containers come
     back in input order; ``decode``/``decode_batch`` undo the transpose.
     """
-    if effort >= 3 and near == 0:
+    if effort >= 3:
         from . import strips
 
-        return strips.encode_batch(imgs)  # strips normalizes internally
+        return strips.encode_batch(imgs, near=near)  # normalizes internally
     if near != 0:
         # near>0 encodes per image; orientation merging buys nothing there
         return [

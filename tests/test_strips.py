@@ -81,6 +81,34 @@ def test_kodak03_bpp_ratchet():
     assert np.array_equal(strips.decode(s), img)
 
 
+def test_near_roundtrip_contract(kodak_crop):
+    """Near-lossless: max per-pixel error <= near, same contract as the
+    reference (mapXtoY/mapYtoX, NBLIC.c:431-466), decoded via magic sniff."""
+    lossless = len(strips.encode(kodak_crop, th=64))
+    for near in (1, 3):
+        s = strips.encode(kodak_crop, th=64, near=near)
+        out = api.decompress(s)
+        err = np.abs(out.astype(int) - kodak_crop.astype(int)).max()
+        assert err <= near, f"near={near}: max err {err}"
+        assert len(s) < lossless  # quantization must buy bits
+
+
+def test_near_batch_matches_single(kodak_crop):
+    imgs = [kodak_crop, kodak_crop[::-1].copy()]
+    batch = strips.encode_batch(imgs, th=64, near=2)
+    singles = [strips.encode(im, th=64, near=2) for im in imgs]
+    assert batch == singles
+    outs = strips.decode_batch(batch)
+    for im, out in zip(imgs, outs):
+        assert np.abs(out.astype(int) - im.astype(int)).max() <= 2
+
+
+def test_tiled_dispatch_effort3_near(kodak_crop):
+    s = tiled.encode(kodak_crop, near=2, effort=3)
+    out = tiled.decode(s)
+    assert np.abs(out.astype(int) - kodak_crop.astype(int)).max() <= 2
+
+
 def test_mixed_orientation_batch(kodak_crop):
     imgs = [kodak_crop, np.ascontiguousarray(kodak_crop.T)]
     batch = strips.encode_batch(imgs)
