@@ -260,7 +260,7 @@ def _bias_update(bsums, bcnts, idx, err):
 def _code_impl(x, px0, adr, qu, qv, qw):
     """Row-scan coding + fold + pack for one image's modeled planes."""
     s, th, w = x.shape
-    n_class = 256 >> zcodec3.layer_consts(K_STEP).k_max
+    n_class = zcodec3.layer_consts(K_STEP).n_class
     img_of_lane = jnp.zeros((s,), jnp.int32)
 
     def row_body(carry, inputs):
@@ -458,6 +458,11 @@ def encode(img: np.ndarray, th: int = TH_DEFAULT, near: int = 0) -> bytes:
 
 def _encode_dispatch(imgs, th: int, near: int = 0):
     """Launch the model + code device programs for one same-shape batch."""
+    if not 0 <= near <= 255:
+        # validate before dispatching the (expensive) device program; the
+        # reference clamps to [0, MAX_NEAR] (NBLIC.c:768), our header
+        # stores near as u8
+        raise ValueError(f"near must be in [0, 255], got {near}")
     imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
     dims = [im.shape for im in imgs]
     tflags = [h > w for h, w in dims]

@@ -1040,8 +1040,10 @@ def encode_batch(
     """Encode a batch of same-shape images in one device program.
 
     This is the production/serving path: all images' tiles ride the same
-    lockstep scans, so device fixed costs amortize across the batch.  Only
-    lossless (near=0) is batched; near>0 falls back to per-image encode.
+    lockstep scans, so device fixed costs amortize across the batch.  At
+    effort>=3 every mode (including near>0) batches via the profile-3
+    strips engine; at efforts 1-2 only lossless (near=0) is batched and
+    near>0 falls back to per-image encode.
     """
     if effort >= 3:
         from . import strips

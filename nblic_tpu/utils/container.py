@@ -108,6 +108,18 @@ class NbtcHeader:
       then: hist_len bytes of RLE-coded shared histograms (12 x 256),
       then: n_tiles * u32 per-tile stream byte lengths,
       then: concatenated per-tile payloads (each a forward-readable rANS stream).
+
+    Profile-3 (adaptive strip engine, models/strips.py) REINTERPRETS some
+    fields — the geometry is strips, not tiles:
+      tile_h  = strip height,
+      tile_w  = bit 0: image stored transposed | bits 4+: AVP feature count
+                (0 means a legacy 6-feature container),
+      n_tiles = strip count,
+      bias_len= 0 for the row-adaptive replayed bias (nothing transmitted);
+                nonzero marks a legacy container with a zlib'd static table,
+      hist_len= 4 * n_states bytes of per-rANS-state u32 word lengths
+                (n_states = n_tiles * rans_bin.N_PHASE), followed by the
+                concatenated per-state u16 streams.
     """
 
     profile: int
