@@ -209,7 +209,8 @@ def _pixel_update(x, px_s, feats, stats, e_acc, b_row, j, ab, n: int):
 # ---------------------------------------------------------------------------
 
 
-def _model_planes(strips, n_feat: int = AVP_N):
+def _model_planes(strips, n_feat: int = AVP_N, row_frozen: bool = False,
+                  two_pass: bool = False):
     """Whole-plane modeling: AVP prediction + contexts (lossless).
 
     The context-bias correction and residual fold happen in the coding
@@ -218,9 +219,17 @@ def _model_planes(strips, n_feat: int = AVP_N):
     is transmitted and the table tracks local statistics the way the
     reference's per-pixel EWMA does (NBLIC.c:398-428), at row granularity.
     Everything here is bias-independent, so it stays whole-plane parallel.
+
+    ``row_frozen``: v2 stats contract (rows < i only; see pavp).
+    ``two_pass``: re-run the chains with the first pass's own prediction
+    error as the inverse-energy weight (parallel analog of the reference's
+    own-error feedback, NBLIC.c:884-886) — the decoder replays pass 1 from
+    its decoded rows, so the contract stays decodable.
     """
     x = strips.astype(jnp.int32)
-    px0 = pavp.predict_plane(x, n_feat)
+    px0 = pavp.predict_plane(x, n_feat, row_frozen)
+    if two_pass:
+        px0 = pavp.predict_plane(x, n_feat, row_frozen, weight_err=x - px0)
     nb = sample(x)
     err_raw = x - px0
     err_c = jnp.clip(err_raw, -MAX_PX_INC, MAX_PX_INC)
@@ -406,9 +415,10 @@ def _code_near_impl(x, near: int, n_feat: int):
 # the encode runs as two device programs (modeling | coding): each compiles
 # in minutes rather than the single fused program's hours on the remote
 # TPU compiler, and both cache independently
-_model_jit = jax.jit(_model_planes, static_argnums=(1,))
+_model_jit = jax.jit(_model_planes, static_argnums=(1, 2, 3))
 _model_batch_jit = jax.jit(
-    jax.vmap(_model_planes, in_axes=(0, None)), static_argnums=(1,)
+    jax.vmap(_model_planes, in_axes=(0, None, None, None)),
+    static_argnums=(1, 2, 3),
 )
 _code_jit = jax.jit(_code_impl)
 _code_batch_jit = jax.jit(jax.vmap(_code_impl))
@@ -456,7 +466,8 @@ def encode(img: np.ndarray, th: int = TH_DEFAULT, near: int = 0) -> bytes:
     return encode_batch([img], th=th, near=near)[0]
 
 
-def _encode_dispatch(imgs, th: int, near: int = 0):
+def _encode_dispatch(imgs, th: int, near: int = 0,
+                     row_frozen: bool = False, two_pass: bool = False):
     """Launch the model + code device programs for one same-shape batch."""
     if not 0 <= near <= 255:
         # validate before dispatching the (expensive) device program; the
@@ -490,11 +501,13 @@ def _encode_dispatch(imgs, th: int, near: int = 0):
             else:
                 lens_d, flats_d = _code_near_batch_jit(xs, near, AVP_N)
         elif len(imgs) == 1:
-            planes = _model_jit(jnp.asarray(strips[0]), AVP_N)
+            planes = _model_jit(jnp.asarray(strips[0]), AVP_N,
+                                row_frozen, two_pass)
             len_d, flat_d = _code_jit(*planes)
             lens_d, flats_d = len_d[None], flat_d[None]
         else:
-            planes = _model_batch_jit(jnp.asarray(strips), AVP_N)
+            planes = _model_batch_jit(jnp.asarray(strips), AVP_N,
+                                      row_frozen, two_pass)
             lens_d, flats_d = _code_batch_jit(*planes)
     return (lens_d, flats_d, dims, tflags, s, th, near)
 

@@ -263,7 +263,8 @@ def predict_from_stats(stats, feats, n: int):
     return px, ok
 
 
-def predict_plane(strips, n: int = N_FEAT):
+def predict_plane(strips, n: int = N_FEAT, row_frozen: bool = False,
+                  weight_err=None):
     """AVP prediction for every pixel of (S, H, W) int32 strips, in parallel.
 
     Returns the int32 px0 plane.  Decomposition of the reference's per-pixel
@@ -271,7 +272,13 @@ def predict_plane(strips, n: int = N_FEAT):
     B is a per-column chain over rows, E an in-row left chain, F the
     right-to-left decayed prefix of the previous row's B.  The per-sample
     inverse-error-energy weight uses the simple predictor's error (parallel
-    proxy for the reference's own-prediction feedback, NBLIC.c:884-886).
+    proxy for the reference's own-prediction feedback, NBLIC.c:884-886)
+    unless ``weight_err`` (an (S, H, W) absolute-error plane) overrides it.
+
+    ``row_frozen``: use only rows < i for the stats at row i (the left
+    chain runs over the PREVIOUS row's B instead of the current row's) —
+    the profile-3 v2 contract, which lets the decoder hoist the solve out
+    of its per-pixel walk.
     """
     from .neighbors import sample
     from .predict import simple_predict
@@ -304,16 +311,21 @@ def predict_plane(strips, n: int = N_FEAT):
         # B: per-column chain over rows; scan over H with (C, S*W) body
         b_in = contrib.transpose(2, 0, 1, 3).reshape(h, c, s * w)
         b_new = col_chain(b_in, first_beta).reshape(h, c, s, w).transpose(1, 2, 0, 3)
-        # E: in-row left chain; scan over W with (C, S*H) body
-        e_in = b_new.transpose(3, 0, 1, 2).reshape(w, c, s * h)
-        e = e_chain(e_in, first_beta).reshape(w, c, s, h).transpose(1, 2, 3, 0)
-        # F: right-to-left prefix of the previous row's B
         b_prev = jnp.concatenate(
             [jnp.zeros_like(b_new[:, :, :1]), b_new[:, :, :-1]], axis=2
         )
+        # E: in-row left chain (v2/row_frozen: over the previous row's B,
+        # so the stats at (i, j) use rows < i only)
+        e_src = b_prev if row_frozen else b_new
+        e_in = e_src.transpose(3, 0, 1, 2).reshape(w, c, s * h)
+        e = e_chain(e_in, first_beta).reshape(w, c, s, h).transpose(1, 2, 3, 0)
+        # F: right-to-left prefix of the previous row's B
         f_in = b_prev.transpose(3, 0, 1, 2).reshape(w, c, s * h)
         f = f_chain(f_in, first_beta).reshape(w, c, s, h).transpose(1, 2, 3, 0)
         return e + f
+
+    if weight_err is not None:
+        s_curr = jnp.abs(weight_err).astype(jnp.int64) << FB1
 
     # energy channel first: its E+F feeds every other channel's weight
     ef0 = run_chains(s_curr[None])[0]
