@@ -93,11 +93,17 @@ def _refine_prob_plane(rtab_prob, row_end, kk, msb):
 
 
 def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
-              k_step: int = K_STEP):
+              k_step: int = K_STEP, refine_mix: bool = True):
     """One row of the coding model: per-slot (prob, bin, mask) + new state.
 
     All row planes are (L, W).  The decoder calls this with its *decoded*
-    row to replay the adaptive-state transition bit-exactly."""
+    row to replay the adaptive-state transition bit-exactly.
+
+    ``refine_mix`` is the v2 coder: refinement bits go through the same
+    dual-counter (qu-row, qv-row, qw) mixture as the unary walk, with
+    reference-weighted counter updates (the reference codes them through
+    one AriCodec, NBLIC.c:674-678).  v1 containers (single refine table,
+    unit increments) still decode with refine_mix=False."""
     lc = zcodec3.layer_consts(k_step)
     ranks, _ = coder3.mapper_ranks(mhist)
     z = jnp.where(
@@ -105,7 +111,7 @@ def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
         coder3.mapper_lookup(ranks, img_of_lane, key_r, y_r),
         y_r,
     )
-    unary, row_end, k_end, escaped = zcodec3.unary_layers(
+    unary, row_end, row_end_v, k_end, escaped = zcodec3.unary_layers(
         z, qu_r, qv_r, k_step
     )
     refine = zcodec3.refine_layers(z, k_end, escaped)
@@ -124,6 +130,9 @@ def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
             bit, act, msb = refine[l]
             kk = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
             p_ad = _refine_prob_plane(rprob, row_end, kk, msb)
+            if refine_mix:
+                p_v = _refine_prob_plane(rprob, row_end_v, kk, msb)
+                p_ad = coder3.mix_prob(p_ad, p_v, qw_r)
         else:
             bit = jnp.zeros_like(z)
             act = jnp.zeros(z.shape, bool)
@@ -134,7 +143,8 @@ def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
         masks.append(act | escaped)
 
     utab, rtab = coder3.row_updates(
-        utab, rtab, qw_r, unary, refine, row_end, k_end, k_step
+        utab, rtab, qw_r, unary, refine, row_end, k_end, k_step,
+        row_end_v if refine_mix else None,
     )
     mhist = coder3.mapper_updates(mhist, img_of_lane, key_r, y_r)
     return (
@@ -209,8 +219,7 @@ def _pixel_update(x, px_s, feats, stats, e_acc, b_row, j, ab, n: int):
 # ---------------------------------------------------------------------------
 
 
-def _model_planes(strips, n_feat: int = AVP_N, row_frozen: bool = False,
-                  two_pass: bool = False):
+def _model_planes(strips, n_feat: int = AVP_N, row_frozen: bool = False):
     """Whole-plane modeling: AVP prediction + contexts (lossless).
 
     The context-bias correction and residual fold happen in the coding
@@ -220,16 +229,14 @@ def _model_planes(strips, n_feat: int = AVP_N, row_frozen: bool = False,
     reference's per-pixel EWMA does (NBLIC.c:398-428), at row granularity.
     Everything here is bias-independent, so it stays whole-plane parallel.
 
-    ``row_frozen``: v2 stats contract (rows < i only; see pavp).
-    ``two_pass``: re-run the chains with the first pass's own prediction
-    error as the inverse-energy weight (parallel analog of the reference's
-    own-error feedback, NBLIC.c:884-886) — the decoder replays pass 1 from
-    its decoded rows, so the contract stays decodable.
+    ``row_frozen``: stats contract restricted to rows < i (see pavp).
+    (A measured negative result: re-running the chains with the first
+    pass's own prediction error as the inverse-energy weight — the
+    reference's own-error feedback, NBLIC.c:884-886 — gained nothing,
+    4.1115 vs 4.1114 bpp on Kodak-24 at th=256, at 2x the encode cost.)
     """
     x = strips.astype(jnp.int32)
     px0 = pavp.predict_plane(x, n_feat, row_frozen)
-    if two_pass:
-        px0 = pavp.predict_plane(x, n_feat, row_frozen, weight_err=x - px0)
     nb = sample(x)
     err_raw = x - px0
     err_c = jnp.clip(err_raw, -MAX_PX_INC, MAX_PX_INC)
@@ -266,7 +273,7 @@ def _bias_update(bsums, bcnts, idx, err):
     return bsums.reshape(shp), bcnts.reshape(shp)
 
 
-def _code_impl(x, px0, adr, qu, qv, qw):
+def _code_impl(x, px0, adr, qu, qv, qw, refine_mix: bool = True):
     """Row-scan coding + fold + pack for one image's modeled planes."""
     s, th, w = x.shape
     n_class = zcodec3.layer_consts(K_STEP).n_class
@@ -284,7 +291,8 @@ def _code_impl(x, px0, adr, qu, qv, qw):
         y_r = ctx_ops.residual_fold(x_r, pxc, sign, 0)
         key_r = pxc * 2 + sign
         slots, (utab, rtab, mhist) = _row_code(
-            utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r
+            utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
+            K_STEP, refine_mix,
         )
         bsums, bcnts = _bias_update(bsums, bcnts, adr_r, x_r - px0_r)
         return (utab, rtab, mhist, bsums, bcnts), slots
@@ -314,7 +322,7 @@ def _code_impl(x, px0, adr, qu, qv, qw):
     return lengths, flat32
 
 
-def _code_near_impl(x, near: int, n_feat: int):
+def _code_near_impl(x, near: int, n_feat: int, refine_mix: bool = True):
     """Near-lossless feedback encode of one image's strips (s, th, w).
 
     The reference's near mode reconstructs each pixel as it encodes and
@@ -374,7 +382,7 @@ def _code_near_impl(x, near: int, n_feat: int):
         ]
         slots, (utab, rtab, mhist) = _row_code(
             utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
-            k_step,
+            k_step, refine_mix,
         )
         bsums, bcnts = _bias_update(bsums, bcnts, adr_r, xr_r - px0_r)
         return (
@@ -415,17 +423,20 @@ def _code_near_impl(x, near: int, n_feat: int):
 # the encode runs as two device programs (modeling | coding): each compiles
 # in minutes rather than the single fused program's hours on the remote
 # TPU compiler, and both cache independently
-_model_jit = jax.jit(_model_planes, static_argnums=(1, 2, 3))
+_model_jit = jax.jit(_model_planes, static_argnums=(1, 2))
 _model_batch_jit = jax.jit(
-    jax.vmap(_model_planes, in_axes=(0, None, None, None)),
-    static_argnums=(1, 2, 3),
-)
-_code_jit = jax.jit(_code_impl)
-_code_batch_jit = jax.jit(jax.vmap(_code_impl))
-_code_near_jit = jax.jit(_code_near_impl, static_argnums=(1, 2))
-_code_near_batch_jit = jax.jit(
-    jax.vmap(_code_near_impl, in_axes=(0, None, None)),
+    jax.vmap(_model_planes, in_axes=(0, None, None)),
     static_argnums=(1, 2),
+)
+_code_jit = jax.jit(_code_impl, static_argnums=(6,))
+_code_batch_jit = jax.jit(
+    jax.vmap(_code_impl, in_axes=(0, 0, 0, 0, 0, 0, None)),
+    static_argnums=(6,),
+)
+_code_near_jit = jax.jit(_code_near_impl, static_argnums=(1, 2, 3))
+_code_near_batch_jit = jax.jit(
+    jax.vmap(_code_near_impl, in_axes=(0, None, None, None)),
+    static_argnums=(1, 2, 3),
 )
 
 
@@ -448,7 +459,9 @@ def _container(lengths, words, h0, w0, s, th, transposed,
         height=h0,
         width=w0,
         tile_h=th,
-        tile_w=int(transposed) | (AVP_N << 4),
+        # bit 0: transposed; bit 1: v2 coder (dual-counter refine mixing);
+        # bits 4+: AVP feature count (see utils/container.py NbtcHeader)
+        tile_w=int(transposed) | 2 | (AVP_N << 4),
         n_tiles=s,
         bias_len=0,
         hist_len=4 * n_states,
@@ -467,7 +480,7 @@ def encode(img: np.ndarray, th: int = TH_DEFAULT, near: int = 0) -> bytes:
 
 
 def _encode_dispatch(imgs, th: int, near: int = 0,
-                     row_frozen: bool = False, two_pass: bool = False):
+                     row_frozen: bool = False):
     """Launch the model + code device programs for one same-shape batch."""
     if not 0 <= near <= 255:
         # validate before dispatching the (expensive) device program; the
@@ -496,19 +509,17 @@ def _encode_dispatch(imgs, th: int, near: int = 0,
         if near:
             xs = jnp.asarray(strips)
             if len(imgs) == 1:
-                len_d, flat_d = _code_near_jit(xs[0], near, AVP_N)
+                len_d, flat_d = _code_near_jit(xs[0], near, AVP_N, True)
                 lens_d, flats_d = len_d[None], flat_d[None]
             else:
-                lens_d, flats_d = _code_near_batch_jit(xs, near, AVP_N)
+                lens_d, flats_d = _code_near_batch_jit(xs, near, AVP_N, True)
         elif len(imgs) == 1:
-            planes = _model_jit(jnp.asarray(strips[0]), AVP_N,
-                                row_frozen, two_pass)
-            len_d, flat_d = _code_jit(*planes)
+            planes = _model_jit(jnp.asarray(strips[0]), AVP_N, row_frozen)
+            len_d, flat_d = _code_jit(*planes, True)
             lens_d, flats_d = len_d[None], flat_d[None]
         else:
-            planes = _model_batch_jit(jnp.asarray(strips), AVP_N,
-                                      row_frozen, two_pass)
-            lens_d, flats_d = _code_batch_jit(*planes)
+            planes = _model_batch_jit(jnp.asarray(strips), AVP_N, row_frozen)
+            lens_d, flats_d = _code_batch_jit(*planes, True)
     return (lens_d, flats_d, dims, tflags, s, th, near)
 
 
@@ -561,7 +572,7 @@ def encode_batches(image_groups, th: int = TH_DEFAULT,
 
 def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
                  adaptive: bool = True, n_feat: int = AVP_N,
-                 near: int = 0):
+                 near: int = 0, refine_mix: bool = True):
     """Lockstep decode: lanes = n_imgs * s strips, mirrors _encode_impl.
 
     smat: (lanes, N_PHASE, wmax) int32 per-state streams.  With
@@ -634,6 +645,7 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
             qv2 = zcodec3.adjust_qv(qu, qv, k_step)
             active = jnp.ones((lanes,), bool)
             stop_row = jnp.zeros((lanes,), jnp.int32)
+            stop_row_v = jnp.zeros((lanes,), jnp.int32)
             stopped = jnp.zeros((lanes,), bool)
             stop_layer = jnp.zeros((lanes,), jnp.int32)
             for l in range(L_U):
@@ -645,6 +657,7 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
                 b, states, ptrs = code_bin(states, ptrs, l, p1, active, i, j)
                 stop_here = active & (b == 0)
                 stop_row = jnp.where(stop_here, ru, stop_row)
+                stop_row_v = jnp.where(stop_here, rv, stop_row_v)
                 stop_layer = jnp.where(stop_here, l, stop_layer)
                 stopped = stopped | stop_here
                 active = active & (b == 1)
@@ -663,6 +676,9 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
                     kk = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
                     act_r = ((k_end - 1 - l) >= 0) & stopped
                     p_ad = _gather_refine(rprob, stop_row, kk, msb)
+                    if refine_mix:
+                        p_v = _gather_refine(rprob, stop_row_v, kk, msb)
+                        p_ad = coder3.mix_prob(p_ad, p_v, qw)
                 else:
                     act_r = jnp.zeros((lanes,), bool)
                     p_ad = jnp.full((lanes,), rans_bin.BYPASS_P1, jnp.int32)
@@ -713,7 +729,7 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
         # replay the adaptive-state transitions exactly as the encoder
         _, (utab, rtab, mhist) = _row_code(
             utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
-            k_step,
+            k_step, refine_mix,
         )
         if adaptive:
             idx = img_of_lane[:, None] * Q_N_CONTEXT + adr_r
@@ -757,7 +773,7 @@ def _gather_refine(rprob, row, kk, msb):
     return jnp.take_along_axis(t, msb[:, None], axis=1)[:, 0]
 
 
-_decode_jit = jax.jit(_decode_scan, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+_decode_jit = jax.jit(_decode_scan, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 
 
 def _parse(stream: bytes):
@@ -781,7 +797,7 @@ def _parse(stream: bytes):
     payload = np.frombuffer(stream, dtype=np.uint16, offset=pos)
     n_feat = (hdr.tile_w >> 4) or 6  # pre-AVP_N containers used 6 features
     geom = (hdr.height, hdr.width, hdr.n_tiles, hdr.tile_h,
-            bool(hdr.tile_w & 1), n_feat, hdr.near)
+            bool(hdr.tile_w & 1), n_feat, hdr.near, bool(hdr.tile_w & 2))
     return geom, bias, lengths, payload
 
 
@@ -796,9 +812,9 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
     parsed = [_parse(x) for x in streams]
 
     def plane_geom(g):
-        h0, w0, s, th, transposed, n_feat, near = g
+        h0, w0, s, th, transposed, n_feat, near, refine_mix = g
         hh, ww = (w0, h0) if transposed else (h0, w0)
-        return (s, th, ww, n_feat, near)
+        return (s, th, ww, n_feat, near, refine_mix)
 
     # images of either orientation share the encoded-plane geometry (the
     # encoder transposes portraits); only the output crop/transpose differs
@@ -809,7 +825,7 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
         for p in parsed[1:]
     ):
         return [decode(x) for x in streams]
-    s, th, ww, n_feat, near = plane_geom(parsed[0][0])
+    s, th, ww, n_feat, near, refine_mix = plane_geom(parsed[0][0])
     n_imgs = len(streams)
     wmax = max(2, max(int(p[2].max()) for p in parsed))
     wmax = -(-wmax // 64) * 64
@@ -825,7 +841,7 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
             _decode_jit(
                 jnp.asarray(smat.reshape(n_imgs * s, N_PHASE, wmax)),
                 jnp.asarray(bias),
-                th, ww, s, n_imgs, adaptive, n_feat, near,
+                th, ww, s, n_imgs, adaptive, n_feat, near, refine_mix,
             )
         )
     if ww % 4 == 0:  # 4-px/int32 packed fetch (LE bytes are the pixels)
@@ -834,7 +850,7 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
         )
     out = []
     for b in range(n_imgs):
-        h0, w0, _, _, transposed, _, _ = parsed[b][0]
+        h0, w0, _, _, transposed, _, _, _ = parsed[b][0]
         hh = w0 if transposed else h0
         plane = px[b * s : (b + 1) * s].reshape(s * th, ww)[:hh]
         out.append(

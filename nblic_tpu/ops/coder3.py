@@ -86,11 +86,17 @@ def _oh(v, n):
     return jax.nn.one_hot(v.astype(jnp.int32), n, dtype=jnp.float32)
 
 
-def row_updates(utab, rtab, qw, unary, refine, row_end, k_end, k_step: int):
+def row_updates(utab, rtab, qw, unary, refine, row_end, k_end, k_step: int,
+                row_end_v=None):
     """Fold one row's coded events into the counter tables.
 
     All row planes are (L, W); ``unary``/``refine`` are zcodec3 layer lists
     for this row (escape bypass bits are priced at 1/2 and never counted).
+    ``row_end_v`` selects the v2 refine semantics: dual-counter updates at
+    the qu- and qv-escalated stop rows with the reference's (N_QW-qw, qw)
+    weights (counterUpdate from AriCodec, NBLIC.c:625-635 — the refine loop
+    codes through the same counter pair as the unary walk).  Without it the
+    legacy v1 semantics apply (single row, unit increments).
     Returns updated (utab, rtab).
     """
     lc = zcodec3.layer_consts(k_step)
@@ -112,14 +118,23 @@ def row_updates(utab, rtab, qw, unary, refine, row_end, k_end, k_step: int):
     dr = jnp.zeros(rtab.shape, jnp.float32)
     for l, (bit, act, msb) in enumerate(refine):
         actf = act.astype(jnp.float32)
-        ohr = _oh(row_end, zcodec3.N_ROW) * actf[..., None]
         kk = jnp.maximum(k_end - 1 - l, 0)
         ohk = _oh(kk, zcodec3.N_REFINE)
         ohm = _oh(msb, 2)
         ohb = _oh(bit, 2)
-        dr = dr + jnp.einsum(
-            "lwr,lwk,lwm,lwx->lrkmx", ohr, ohk, ohm, ohb
-        , precision=jax.lax.Precision.HIGHEST)
+        if row_end_v is None:
+            ohr = _oh(row_end, zcodec3.N_ROW) * actf[..., None]
+            dr = dr + jnp.einsum(
+                "lwr,lwk,lwm,lwx->lrkmx", ohr, ohk, ohm, ohb
+            , precision=jax.lax.Precision.HIGHEST)
+        else:
+            ohr = _oh(row_end, zcodec3.N_ROW) * actf[..., None]
+            ohrv = _oh(row_end_v, zcodec3.N_ROW) * actf[..., None]
+            dr = dr + jnp.einsum(
+                "lwr,lwk,lwm,lwx,lw->lrkmx", ohr, ohk, ohm, ohb, QW_MAX - qwf
+            , precision=jax.lax.Precision.HIGHEST) + jnp.einsum(
+                "lwr,lwk,lwm,lwx,lw->lrkmx", ohrv, ohk, ohm, ohb, qwf
+            , precision=jax.lax.Precision.HIGHEST)
     rtab = halve_pairs(rtab + dr.astype(jnp.int32), CNT_HALVE)
     return utab, rtab
 

@@ -87,15 +87,19 @@ def unary_layers(z, qu, qv, k_step: int):
     """Vectorized unary walk.
 
     z/qu/qv: int32 planes (...).  Returns per-layer lists (length N_UNARY)
-    of (row_u, row_v, bin, active) planes, plus (row_end, k_end, escaped):
-    the context row where the walk stopped, its refinement bit count, and
-    the escape mask (still continuing after the budget).
+    of (row_u, row_v, bin, active) planes, plus (row_end, row_end_v, k_end,
+    escaped): the qu- and qv-escalated context rows where the walk stopped,
+    its refinement bit count, and the escape mask (still continuing after
+    the budget).  ``row_end_v`` feeds the v2 coder's dual-counter refine
+    mixing (the reference refines through the same AriCodec pair,
+    NBLIC.c:674-678).
     """
     lc = layer_consts(k_step)
     qv = adjust_qv(qu, qv, k_step)
     active = jnp.ones(z.shape, bool)
     layers = []
     row_end = jnp.zeros_like(qu)
+    row_end_v = jnp.zeros_like(qu)
     stopped = jnp.zeros(z.shape, bool)
     for l in range(N_UNARY):
         row_u = escalated_row(qu, lc.esc_counts[l], k_step)
@@ -105,10 +109,11 @@ def unary_layers(z, qu, qv, k_step: int):
         layers.append((row_u, row_v, b, active))
         stop_here = active & ~b
         row_end = jnp.where(stop_here, row_u, row_end)
+        row_end_v = jnp.where(stop_here, row_v, row_end_v)
         stopped = stopped | stop_here
         active = active & b
     k_end = jnp.where(stopped, row_end // k_step, 0)
-    return layers, row_end, k_end, active
+    return layers, row_end, row_end_v, k_end, active
 
 
 def unary_stop_value(z, qu, k_step: int):

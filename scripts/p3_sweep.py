@@ -5,7 +5,7 @@ covered by tests once a variant is promoted to a real format).  Runs on
 whatever backend JAX picks — use the real chip for speed.
 
 Usage:
-    python scripts/p3_sweep.py --th 256 [--row-frozen] [--two-pass]
+    python scripts/p3_sweep.py --th 256 [--row-frozen]
         [--quick] [--group 6] [--near 0]
 """
 
@@ -29,7 +29,6 @@ def main():
     ap.add_argument("--th", type=int, default=256)
     ap.add_argument("--near", type=int, default=0)
     ap.add_argument("--row-frozen", action="store_true")
-    ap.add_argument("--two-pass", action="store_true")
     ap.add_argument("--group", type=int, default=6)
     ap.add_argument("--quick", action="store_true", help="first 6 images")
     args = ap.parse_args()
@@ -48,8 +47,7 @@ def main():
     def run():
         works = [
             strips._encode_dispatch(
-                g, args.th, args.near,
-                row_frozen=args.row_frozen, two_pass=args.two_pass,
+                g, args.th, args.near, row_frozen=args.row_frozen,
             )
             for g in groups
         ]
@@ -64,7 +62,7 @@ def main():
     bpp = 8.0 * sum(len(s) for s in streams) / n_px
     print(json.dumps({
         "th": args.th, "near": args.near,
-        "row_frozen": args.row_frozen, "two_pass": args.two_pass,
+        "row_frozen": args.row_frozen,
         "n_images": len(imgs), "bpp": round(bpp, 4),
         "enc_mpix_s_e2e": round(n_px / t_warm / 1e6, 3),
         "cold_s": round(t_cold, 1), "warm_s": round(t_warm, 1),
