@@ -248,8 +248,17 @@ def _model_planes(strips, n_feat: int = AVP_N, row_frozen: bool = False):
 
 
 # EWMA horizon of the row-adaptive bias: halve (sums, counts) past this
-# count, matching the reference's context halving scale (NBLIC.h ctxCnt cap)
-BIAS_CAP = 1 << 11
+# count.  The reference's per-context EWMA has a ~128-event time constant
+# (CTX_COEF=7, NBLIC.c:421-428); this cap is the sweep-tuned analog for
+# moment-pair tracking.  Env override is for scripts/p3_sweep.py only —
+# the value is part of the v2 replay contract (not transmitted).
+import os as _os
+
+BIAS_CAP = int(_os.environ.get("NBLIC_P3_BIAS_CAP", 1 << 11))
+
+# v2-coder toggle for A/B sweeps; the container records the flag (tile_w
+# bit 1) so streams from either setting round-trip
+V2_CODER = _os.environ.get("NBLIC_P3_V2", "1") == "1"
 
 
 def _bias_update(bsums, bcnts, idx, err):
@@ -461,7 +470,7 @@ def _container(lengths, words, h0, w0, s, th, transposed,
         tile_h=th,
         # bit 0: transposed; bit 1: v2 coder (dual-counter refine mixing);
         # bits 4+: AVP feature count (see utils/container.py NbtcHeader)
-        tile_w=int(transposed) | 2 | (AVP_N << 4),
+        tile_w=int(transposed) | (2 * V2_CODER) | (AVP_N << 4),
         n_tiles=s,
         bias_len=0,
         hist_len=4 * n_states,
@@ -509,17 +518,19 @@ def _encode_dispatch(imgs, th: int, near: int = 0,
         if near:
             xs = jnp.asarray(strips)
             if len(imgs) == 1:
-                len_d, flat_d = _code_near_jit(xs[0], near, AVP_N, True)
+                len_d, flat_d = _code_near_jit(xs[0], near, AVP_N, V2_CODER)
                 lens_d, flats_d = len_d[None], flat_d[None]
             else:
-                lens_d, flats_d = _code_near_batch_jit(xs, near, AVP_N, True)
+                lens_d, flats_d = _code_near_batch_jit(
+                    xs, near, AVP_N, V2_CODER
+                )
         elif len(imgs) == 1:
             planes = _model_jit(jnp.asarray(strips[0]), AVP_N, row_frozen)
-            len_d, flat_d = _code_jit(*planes, True)
+            len_d, flat_d = _code_jit(*planes, V2_CODER)
             lens_d, flats_d = len_d[None], flat_d[None]
         else:
             planes = _model_batch_jit(jnp.asarray(strips), AVP_N, row_frozen)
-            lens_d, flats_d = _code_batch_jit(*planes, True)
+            lens_d, flats_d = _code_batch_jit(*planes, V2_CODER)
     return (lens_d, flats_d, dims, tflags, s, th, near)
 
 

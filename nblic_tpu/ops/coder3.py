@@ -31,12 +31,16 @@ import jax.numpy as jnp
 from . import zcodec3
 from .rans_bin import PROB_MAX
 
+import os as _os
+
 N_MAP = 20
 MAP_KEYS = 512
-MAP_BUMP = 4
-MAP_HALVE = 4096
+MAP_BUMP = int(_os.environ.get("NBLIC_P3_MAP_BUMP", 4))
+MAP_HALVE = int(_os.environ.get("NBLIC_P3_MAP_HALVE", 4096))
 CNT_INIT = 32
-CNT_HALVE = 8192  # N_QW * MAX_COUNTER (NBLIC.c:612)
+# N_QW * MAX_COUNTER (NBLIC.c:612).  Env overrides are for
+# scripts/p3_sweep.py experiments only — these are replay-contract values.
+CNT_HALVE = int(_os.environ.get("NBLIC_P3_CNT_HALVE", 8192))
 QW_MAX = 32
 
 

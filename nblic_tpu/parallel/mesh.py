@@ -221,37 +221,234 @@ def encode_batch_mesh(imgs, mesh: Mesh, tile_h: int = 64, tile_w: int = 64):
     )
 
 
-def sharded_decode_groups(mesh: Mesh, axis_name: str = "tiles"):
-    """jit: profile-1 group decode with the group axis sharded over the
-    mesh's ``tiles`` axis (tables replicated; each shard decodes its own
-    interleaved groups)."""
+def sharded_decode_batch(mesh: Mesh, th: int, tw: int, near: int, g: int,
+                         profile: int):
+    """jit: full NBTC profile-1/2 decode, images over ``data``, each
+    image's interleave groups over ``tiles`` (the decode twin of
+    ``sharded_encode_batch``; groups are independent streams, so the body
+    is collective-free — pure partitioned work, SURVEY §7.1.5)."""
     from ..models import tiled
 
-    def local(streams, n_active, bias, hist_n, acc, lut, wcols, th, tw,
-              near, g, profile):
+    def local(streams, n_active, bias, hist_n, acc, lut, wcols):
         fn = functools.partial(
             tiled._group_decode_scan, th=th, tw=tw, near=near, g=g,
             profile=profile,
         )
-        return jax.vmap(fn, in_axes=(0, 0, None, None, None, None, 0))(
+        per_image = jax.vmap(fn, in_axes=(0, 0, None, None, None, None, 0))
+        return jax.vmap(per_image)(
             streams, n_active, bias, hist_n, acc, lut, wcols
         )
 
-    def run(streams, n_active, bias, hist_n, acc, lut, wcols, th, tw, near,
-            g, profile):
-        fn = jax.shard_map(
-            functools.partial(local, th=th, tw=tw, near=near, g=g,
-                              profile=profile),
-            mesh=mesh,
-            in_specs=(
-                P(axis_name, None), P(axis_name), P(None), P(None, None),
-                P(None, None), P(None), P(axis_name, None, None),
-            ),
-            out_specs=P(axis_name, None, None, None),
-        )
-        return fn(streams, n_active, bias, hist_n, acc, lut, wcols)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("data", "tiles", None), P("data", "tiles"),
+            P("data", None), P("data", None, None), P("data", None, None),
+            P("data", None), P("data", "tiles", None, None),
+        ),
+        out_specs=P("data", "tiles", None, None, None),
+        # the decode scan creates fresh (device-varying) carries inside the
+        # body; the static varying-axes check can't see that they never mix
+        # across shards, so it rejects the scan — the body is collective-free
+        # and per-shard independent, making the check vacuous here
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
-    return run
+
+def decode_batch_mesh(streams: list[bytes], mesh: Mesh) -> list:
+    """Host driver: decode same-geometry profile-1/2 NBTC containers over a
+    data x tiles mesh, bit-identical to models/tiled.decode_batch.
+
+    Images are padded (repeat-last) to the ``data`` axis and each image's
+    group axis is padded with inactive groups (n_active=0) to the ``tiles``
+    axis; pads are dropped on the host."""
+    import numpy as np
+
+    from ..models import tiled
+
+    parsed = [tiled._Parsed(s) for s in streams]
+    h0 = parsed[0].hdr
+    if any(
+        (p.hdr.height, p.hdr.width, p.hdr.tile_h, p.hdr.tile_w, p.hdr.near,
+         p.hdr.profile, p.group_size)
+        != (h0.height, h0.width, h0.tile_h, h0.tile_w, h0.near, h0.profile,
+            parsed[0].group_size)
+        for p in parsed
+    ):
+        raise ValueError("decode_batch_mesh requires same-geometry streams")
+    if h0.profile not in (1, 2):
+        raise ValueError(f"mesh decode supports profiles 1/2, got {h0.profile}")
+
+    b = len(streams)
+    n_data, n_t = mesh.shape["data"], mesh.shape["tiles"]
+    gsz = parsed[0].group_size
+    wmax = tiled._bucket(max(int(p.counts.max()) for p in parsed))
+
+    stream_mat = np.stack([p.stream_matrix(wmax) for p in parsed])
+    n_active = np.stack([p.n_active() for p in parsed])
+    wcols = np.stack([p.weight_cols() for p in parsed])
+    biases = np.stack([p.bias for p in parsed])
+    hist_ns = np.stack([p.hist_n for p in parsed])
+    accs = np.stack([p.acc for p in parsed])
+    luts = np.stack([p.lut.reshape(-1) for p in parsed])
+
+    # pad groups to the tiles axis, images to the data axis
+    g_pad = (-stream_mat.shape[1]) % n_t
+    if g_pad:
+        stream_mat = np.pad(stream_mat, ((0, 0), (0, g_pad), (0, 0)))
+        n_active = np.pad(n_active, ((0, 0), (0, g_pad)))
+        wcols = np.pad(wcols, ((0, 0), (0, g_pad), (0, 0), (0, 0)))
+    b_pad = (-b) % n_data
+    if b_pad:
+        rep = lambda a: np.concatenate(  # noqa: E731
+            [a, np.repeat(a[-1:], b_pad, axis=0)]
+        )
+        stream_mat, n_active, wcols = map(rep, (stream_mat, n_active, wcols))
+        biases, hist_ns, accs, luts = map(rep, (biases, hist_ns, accs, luts))
+
+    fn = sharded_decode_batch(
+        mesh, h0.tile_h, h0.tile_w, h0.near, gsz, h0.profile
+    )
+    sh = lambda *spec: NamedSharding(mesh, P(*spec))  # noqa: E731
+    tiles = np.asarray(fn(
+        jax.device_put(stream_mat, sh("data", "tiles", None)),
+        jax.device_put(n_active, sh("data", "tiles")),
+        jax.device_put(biases, sh("data", None)),
+        jax.device_put(hist_ns, sh("data", None, None)),
+        jax.device_put(accs, sh("data", None, None)),
+        jax.device_put(luts, sh("data", None)),
+        jax.device_put(wcols, sh("data", "tiles", None, None)),
+    ))
+    out = []
+    for bi in range(b):
+        lanes = tiles[bi].reshape(-1, h0.tile_h, h0.tile_w)[: h0.n_tiles]
+        img = tiled.from_tiles(
+            lanes.astype(np.uint8), h0.height, h0.width, h0.tile_h, h0.tile_w
+        )
+        if parsed[bi].hdr.transposed:
+            img = np.ascontiguousarray(img.T)
+        out.append(img)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# profile-3 (adaptive strip engine): pure data-parallel SPMD
+# ---------------------------------------------------------------------------
+
+
+def p3_encode_batch_mesh(imgs, mesh: Mesh, th: int | None = None,
+                         near: int = 0) -> list[bytes]:
+    """Profile-3 encode with images sharded over the mesh's ``data`` axis.
+
+    Strips/images are independent lanes in the profile-3 engine, so the
+    batched model+code programs partition as pure data parallelism — the
+    same jitted programs as models/strips.encode_batch, with the batch
+    axis sharded (GSPMD inserts no collectives on the compute path).
+    Containers are bit-identical to the single-device encoder's."""
+    from ..models import strips
+
+    n_data = mesh.shape["data"]
+    b = len(imgs)
+    b_pad = (-b) % n_data
+    imgs = list(imgs) + [imgs[-1]] * b_pad
+    th = strips.TH_DEFAULT if th is None else th
+    sharding = NamedSharding(mesh, P("data", None, None, None))
+    work = _p3_dispatch_sharded(imgs, th, near, sharding)
+    return strips._encode_finalize(work)[:b]
+
+
+def _p3_dispatch_sharded(imgs, th: int, near: int, sharding):
+    """strips._encode_dispatch with the image batch sharded over a mesh."""
+    from ..models import strips
+
+    imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
+    dims = [im.shape for im in imgs]
+    tflags = [h > w for h, w in dims]
+    imgs = [
+        np.ascontiguousarray(im.T) if t else im
+        for im, t in zip(imgs, tflags)
+    ]
+    h, w = imgs[0].shape
+    for im in imgs:
+        if im.shape != (h, w):
+            raise ValueError("mesh encode requires same-shape images")
+    th = min(th, -(-h // strips.N_PHASE) * strips.N_PHASE)
+    tile_stack = np.stack([strips._to_strips(im, th) for im in imgs])
+    s = tile_stack.shape[1]
+    xs = jax.device_put(jnp.asarray(tile_stack), sharding)
+    with jax.enable_x64():
+        if near:
+            lens_d, flats_d = strips._code_near_batch_jit(
+                xs, near, strips.AVP_N, strips.V2_CODER
+            )
+        else:
+            planes = strips._model_batch_jit(xs, strips.AVP_N, False)
+            lens_d, flats_d = strips._code_batch_jit(
+                *planes, strips.V2_CODER
+            )
+    return (lens_d, flats_d, dims, tflags, s, th, near)
+
+
+def p3_decode_batch_mesh(streams: list[bytes], mesh: Mesh) -> list:
+    """Profile-3 decode with image lanes sharded over ``data``.
+
+    The decode scan's lanes are images x strips; sharding the lane axis by
+    image keeps every per-lane walk local (the per-image mapper/bias table
+    reductions psum across shards, a few KB per row)."""
+    from ..models import strips
+
+    n_data = mesh.shape["data"]
+    b = len(streams)
+    b_pad = (-b) % n_data
+    streams = list(streams) + [streams[-1]] * b_pad
+
+    parsed = [strips._parse(x) for x in streams]
+    geom0 = parsed[0][0]
+
+    def plane_geom(g):
+        h_i, w_i, s_i, th_i, t_i, nf_i, nr_i, rm_i = g
+        # encoded planes are landscape (the encoder transposes portraits)
+        return (s_i, th_i, (h_i if t_i else w_i), nf_i, nr_i, rm_i)
+
+    if any(plane_geom(p[0]) != plane_geom(geom0) or p[1].size
+           for p in parsed):
+        raise ValueError(
+            "p3 mesh decode requires same-geometry adaptive containers"
+        )
+    s, th, ww, n_feat, near, refine_mix = plane_geom(geom0)
+    n_imgs = len(streams)
+    wmax = max(2, max(int(p[2].max()) for p in parsed))
+    wmax = -(-wmax // 64) * 64
+    smat = np.concatenate(
+        [rans.pad_streams(p[3], p[2], wmax) for p in parsed]
+    ).astype(np.uint16).view(np.int16)
+    bias = np.zeros((n_imgs, Q_N_CONTEXT), np.int32)
+    with jax.enable_x64():
+        px = np.asarray(strips._decode_jit(
+            jax.device_put(
+                jnp.asarray(smat.reshape(n_imgs * s, strips.N_PHASE, wmax)),
+                NamedSharding(mesh, P("data", None, None)),
+            ),
+            jax.device_put(
+                jnp.asarray(bias), NamedSharding(mesh, P("data", None))
+            ),
+            th, ww, s, n_imgs, True, n_feat, near, refine_mix,
+        ))
+    if ww % 4 == 0:
+        px = np.ascontiguousarray(px).view(np.uint8).reshape(
+            px.shape[0], th, ww
+        )
+    out = []
+    for bi in range(b):
+        h_i, w_i, _, _, t_i, _, _, _ = parsed[bi][0]
+        hh_i = w_i if t_i else h_i
+        plane = px[bi * s : (bi + 1) * s].reshape(s * th, ww)[:hh_i]
+        out.append(
+            np.asarray(plane.T if t_i else plane, np.uint8, order="C")
+        )
+    return out
 
 
 def pad_to_multiple(tiles: np.ndarray, n: int) -> np.ndarray:
