@@ -260,6 +260,12 @@ BIAS_CAP = int(_os.environ.get("NBLIC_P3_BIAS_CAP", 1 << 11))
 # bit 1) so streams from either setting round-trip
 V2_CODER = _os.environ.get("NBLIC_P3_V2", "1") == "1"
 
+# sub-row bias segmentation (sweep knob): update the bias moments every
+# W/BIAS_SEG columns instead of once per row, cutting within-row staleness
+# (the reference adapts per pixel, NBLIC.c:421-428).  Encoder-side
+# experiment only until promoted into the replay contract.
+BIAS_SEG = int(_os.environ.get("NBLIC_P3_BIAS_SEG", 1))
+
 
 def _bias_update(bsums, bcnts, idx, err):
     """Fold one coded row into the bias moments (encoder == decoder).
@@ -291,8 +297,23 @@ def _code_impl(x, px0, adr, qu, qv, qw, refine_mix: bool = True):
     def row_body(carry, inputs):
         utab, rtab, mhist, bsums, bcnts = carry
         x_r, px0_r, adr_r, qu_r, qv_r, qw_r = inputs
-        btab = ctx_ops.quantize_bias(bsums, bcnts)
-        bval = ctx_ops.pair_gather(btab, adr_r)
+        if BIAS_SEG > 1:
+            # segment-adaptive bias: fold each W/BIAS_SEG column slice into
+            # the moments before biasing the next slice (static slices)
+            seg = w // BIAS_SEG
+            bvals = []
+            for k in range(BIAS_SEG):
+                lo, hi = k * seg, (k + 1) * seg if k < BIAS_SEG - 1 else w
+                btab = ctx_ops.quantize_bias(bsums, bcnts)
+                bvals.append(ctx_ops.pair_gather(btab, adr_r[:, lo:hi]))
+                bsums, bcnts = _bias_update(
+                    bsums, bcnts, adr_r[:, lo:hi],
+                    x_r[:, lo:hi] - px0_r[:, lo:hi],
+                )
+            bval = jnp.concatenate(bvals, axis=1)
+        else:
+            btab = ctx_ops.quantize_bias(bsums, bcnts)
+            bval = ctx_ops.pair_gather(btab, adr_r)
         sign = (bval >> (ctx_ops.BIAS_FRAC_BITS - 1)) & 1
         pxc = jnp.clip(
             px0_r + (bval >> ctx_ops.BIAS_FRAC_BITS) + sign, 0, MAX_VAL
@@ -303,7 +324,8 @@ def _code_impl(x, px0, adr, qu, qv, qw, refine_mix: bool = True):
             utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
             K_STEP, refine_mix,
         )
-        bsums, bcnts = _bias_update(bsums, bcnts, adr_r, x_r - px0_r)
+        if BIAS_SEG == 1:
+            bsums, bcnts = _bias_update(bsums, bcnts, adr_r, x_r - px0_r)
         return (utab, rtab, mhist, bsums, bcnts), slots
 
     init = (

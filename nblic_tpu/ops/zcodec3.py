@@ -30,8 +30,12 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+
 N_ROW = 16       # activity context rows (NBLIC.c:61 N_QD)
-N_UNARY = 9      # unary layer budget before the raw escape
+# unary layer budget before the raw escape (env override: experiment knob
+# for scripts/p3_sweep.py — the value is part of the stream contract)
+N_UNARY = int(_os.environ.get("NBLIC_P3_N_UNARY", 9))
 N_REFINE = 5     # max binary refinement bits (k <= 15//MIN_K_STEP)
 N_LAYER = N_UNARY + N_REFINE
 # the residual fold is a bijection onto [0, 255] (mapXtoY, NBLIC.c:431-444),
