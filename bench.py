@@ -131,7 +131,7 @@ def main() -> int:
             fn = jax.vmap(
                 strips._code_impl, in_axes=(0, 0, 0, 0, 0, 0, None)
             )
-            lens, _ = fn(x2, px0, adr, qu, qv, qw, strips.V2_CODER)
+            lens, _ = fn(x2, px0, adr, qu, qv, qw, strips.TUNE)
             return lens.reshape(-1)[:1].astype(jnp.int32)
 
         return jax.lax.fori_loop(0, n, body, acc0)
@@ -182,7 +182,7 @@ def main() -> int:
             s2 = smat ^ (acc & 1).astype(smat.dtype)
             px = strips._decode_scan(
                 s2, bias, th_p3, ww, s_cnt, 6, True, strips.AVP_N, 0,
-                strips.V2_CODER,
+                strips.TUNE,
             )
             return px.reshape(-1)[:1].astype(jnp.int32)
 

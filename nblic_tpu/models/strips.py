@@ -5,9 +5,11 @@ stack* — AVP predictor (NBLIC.c:112-283), context bias (:398-428),
 AutoMapper (:470-523), counter-mixed binary coding (:589-679) — rebuilt so
 the encoder is parallel end to end:
 
-- Full-width strips (default 128 rows).  Measured strip-boundary cost is
-  ~0.008 bpp vs 0.045 for 64x64 tiles; portrait images are transposed to
-  landscape (flagged) so corpora share one geometry.
+- Full-width strips (default 512 rows — whole-image on Kodak).  Measured
+  strip-boundary cost is ~0.008 bpp at th=128 vs 0.045 for 64x64 tiles,
+  and taller strips keep winning (th sweep in TH_DEFAULT's comment);
+  portrait images are transposed to landscape (flagged) so corpora share
+  one geometry.
 - Modeling: parallel AVP (ops/pavp.py); whole-plane vector math throughout.
 - Coding: layered Zcodec walk (ops/zcodec3.py) with row-frozen counter,
   mapper, AND context-bias state (the bias analog of NBLIC.c:398-428 —
@@ -22,14 +24,18 @@ the encoder is parallel end to end:
 
 Container (``NBTC0001`` magic, profile=3): header | per-state u32
 word-length table | concatenated per-state u16 streams.  ``tile_h``
-carries the strip height, ``tile_w`` the transposed flag, ``n_tiles`` the
-strip count; ``bias_len`` is 0 (a nonzero value marks a legacy container
-with a transmitted static-bias table, which still decodes).
+carries the strip height, ``tile_w`` the transposed flag + the replay
+contract version bit + the AVP feature count (utils/container.py),
+``n_tiles`` the strip count; ``bias_len`` is 0 (a nonzero value marks a
+legacy container with a transmitted static-bias table, which still
+decodes).
 """
 
 from __future__ import annotations
 
+import os as _os
 import zlib
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -49,10 +55,16 @@ from ..ops.predict import (
 from ..ops.window import row_start_window, slide_window
 from ..utils.container import NbtcHeader, check_size
 
-TH_DEFAULT = 128
-AVP_N = 10          # feature count of the parallel AVP (reference -e3 class,
-                    # N_LIST[3], NBLIC.c:88); containers record it so older
-                    # 6-feature streams still decode
+# default strip height: taller strips = fewer adaptive-state cold starts
+# (th sweep on Kodak-24: 64=4.160 / 128=4.128 / 256=4.111 / 512=4.100 bpp);
+# 512 makes each Kodak image one strip, so decode parallelism comes from
+# the image batch x N_PHASE rANS lanes
+TH_DEFAULT = 512
+# feature count of the parallel AVP (default = reference -e3 class,
+# N_LIST[3], NBLIC.c:88; up to 12 with the TPU-native extra taps, which
+# measured WORSE on Kodak — 4.0910 vs 4.0898 bpp — and stay off).
+# Containers record the count, so streams at any setting decode.
+AVP_N = int(_os.environ.get("NBLIC_P3_AVP_N", 10))
 K_STEP = 3          # lossless k_step (NBLIC.c:769 at near=0)
 
 
@@ -61,10 +73,36 @@ def _k_step(near: int) -> int:
     CLIP(MIN_K_STEP + 2*near, MIN_K_STEP, N_QD)."""
     return min(K_STEP + 2 * near, zcodec3.N_ROW)
 N_PHASE = rans_bin.N_PHASE
-L_U = zcodec3.N_UNARY
 L_R = zcodec3.ESCAPE_BITS  # refine grid carries the escape bypass bits too
-L_TOT = L_U + L_R
 PROFILE = 3
+
+
+class Tune(NamedTuple):
+    """Replay-contract constants carried by the container version.
+
+    These govern the adaptive-state transitions the decoder replays, so a
+    container's version bit (tile_w bit 1) selects the set: TUNE_V1 is the
+    original profile-3 contract, TUNE_V2 the Kodak-swept one (4.0898 vs
+    4.1003 bpp at th=512).  Env overrides exist for scripts/p3_sweep.py
+    experiments only — a process decoding a sweep container must run with
+    the same overrides."""
+
+    bias_cap: int     # halve the bias moment pairs past this count
+    map_bump: int     # mapper count increment per event
+    map_halve: int    # halve mapper counts past this max
+    n_unary: int      # unary layer budget before the raw escape
+    bias_shrink: int  # pseudo-counts pulling sparse-context bias to 0
+
+
+TUNE_V1 = Tune(2048, 4, 4096, 9, 0)
+TUNE_V2 = Tune(
+    int(_os.environ.get("NBLIC_P3_BIAS_CAP", 256)),
+    int(_os.environ.get("NBLIC_P3_MAP_BUMP", 2)),
+    int(_os.environ.get("NBLIC_P3_MAP_HALVE", 512)),
+    int(_os.environ.get("NBLIC_P3_N_UNARY", 13)),
+    int(_os.environ.get("NBLIC_P3_BIAS_SHRINK", 16)),
+)
+TUNE = TUNE_V2  # what new containers are encoded with
 
 
 # ---------------------------------------------------------------------------
@@ -93,26 +131,21 @@ def _refine_prob_plane(rtab_prob, row_end, kk, msb):
 
 
 def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
-              k_step: int = K_STEP, refine_mix: bool = True):
+              k_step: int = K_STEP, tune: Tune = TUNE):
     """One row of the coding model: per-slot (prob, bin, mask) + new state.
 
     All row planes are (L, W).  The decoder calls this with its *decoded*
-    row to replay the adaptive-state transition bit-exactly.
-
-    ``refine_mix`` is the v2 coder: refinement bits go through the same
-    dual-counter (qu-row, qv-row, qw) mixture as the unary walk, with
-    reference-weighted counter updates (the reference codes them through
-    one AriCodec, NBLIC.c:674-678).  v1 containers (single refine table,
-    unit increments) still decode with refine_mix=False."""
-    lc = zcodec3.layer_consts(k_step)
+    row to replay the adaptive-state transition bit-exactly; ``tune`` is
+    the container's replay-contract constants."""
+    lc = zcodec3.layer_consts(k_step, tune.n_unary)
     ranks, _ = coder3.mapper_ranks(mhist)
     z = jnp.where(
         y_r < coder3.N_MAP,
         coder3.mapper_lookup(ranks, img_of_lane, key_r, y_r),
         y_r,
     )
-    unary, row_end, row_end_v, k_end, escaped = zcodec3.unary_layers(
-        z, qu_r, qv_r, k_step
+    unary, row_end, k_end, escaped = zcodec3.unary_layers(
+        z, qu_r, qv_r, k_step, tune.n_unary
     )
     refine = zcodec3.refine_layers(z, k_end, escaped)
 
@@ -130,9 +163,6 @@ def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
             bit, act, msb = refine[l]
             kk = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
             p_ad = _refine_prob_plane(rprob, row_end, kk, msb)
-            if refine_mix:
-                p_v = _refine_prob_plane(rprob, row_end_v, kk, msb)
-                p_ad = coder3.mix_prob(p_ad, p_v, qw_r)
         else:
             bit = jnp.zeros_like(z)
             act = jnp.zeros(z.shape, bool)
@@ -144,9 +174,11 @@ def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
 
     utab, rtab = coder3.row_updates(
         utab, rtab, qw_r, unary, refine, row_end, k_end, k_step,
-        row_end_v if refine_mix else None,
+        tune.n_unary,
     )
-    mhist = coder3.mapper_updates(mhist, img_of_lane, key_r, y_r)
+    mhist = coder3.mapper_updates(
+        mhist, img_of_lane, key_r, y_r, tune.map_bump, tune.map_halve
+    )
     return (
         (jnp.stack(probs), jnp.stack(bins), jnp.stack(masks)),
         (utab, rtab, mhist),
@@ -175,7 +207,7 @@ def _pixel_features(regs, prev1, err, f_row_j, e_acc, i, j, w: int, n: int):
     feats = jnp.stack(
         [v.astype(jnp.int64) - pavp.FIT_BASE
          for v in (nb.a, nb.b, nb.c, nb.d, nb.e, nb.f, t_tap,
-                   nb.h, nb.q, nb.g)[:n]]
+                   nb.h, nb.q, nb.g, nb.r, nb.s)[:n]]
     )
     stats = e_acc + f_row_j
     px_f, ok = pavp.predict_from_stats(stats, feats, n)
@@ -247,31 +279,16 @@ def _model_planes(strips, n_feat: int = AVP_N, row_frozen: bool = False):
     return x, px0, adr, qu, qv, qw
 
 
-# EWMA horizon of the row-adaptive bias: halve (sums, counts) past this
-# count.  The reference's per-context EWMA has a ~128-event time constant
-# (CTX_COEF=7, NBLIC.c:421-428); this cap is the sweep-tuned analog for
-# moment-pair tracking.  Env override is for scripts/p3_sweep.py only —
-# the value is part of the v2 replay contract (not transmitted).
-import os as _os
-
-BIAS_CAP = int(_os.environ.get("NBLIC_P3_BIAS_CAP", 1 << 11))
-
-# v2-coder toggle for A/B sweeps; the container records the flag (tile_w
-# bit 1) so streams from either setting round-trip
-V2_CODER = _os.environ.get("NBLIC_P3_V2", "1") == "1"
-
-# sub-row bias segmentation (sweep knob): update the bias moments every
-# W/BIAS_SEG columns instead of once per row, cutting within-row staleness
-# (the reference adapts per pixel, NBLIC.c:421-428).  Encoder-side
-# experiment only until promoted into the replay contract.
-BIAS_SEG = int(_os.environ.get("NBLIC_P3_BIAS_SEG", 1))
-
-
-def _bias_update(bsums, bcnts, idx, err):
+def _bias_update(bsums, bcnts, idx, err, cap: int):
     """Fold one coded row into the bias moments (encoder == decoder).
 
     idx: flattened (image*C + adr) bins; err: raw prediction errors.
-    Integer-exact via the pair-decomposed MXU segment sum.
+    ``cap`` is the moment-halving horizon (Tune.bias_cap — the analog of
+    the reference context EWMA's ~128-event time constant, CTX_COEF=7,
+    NBLIC.c:421-428).  Integer-exact via the pair-decomposed MXU segment
+    sum.  (Measured negative result: sub-row segmented updates — folding
+    each half/quarter row before biasing the next — gained <=0.0007 bpp
+    for real encoder cost and was dropped.)
     """
     n_bins = bsums.size
     shp = bsums.shape
@@ -282,38 +299,24 @@ def _bias_update(bsums, bcnts, idx, err):
     bcnts = bcnts.reshape(-1) + ctx_ops.pair_segment_sum(
         idx, None, n_bins
     ).astype(jnp.int32)
-    over = bcnts > BIAS_CAP
+    over = bcnts > cap
     bsums = jnp.where(over, bsums >> 1, bsums)
     bcnts = jnp.where(over, bcnts >> 1, bcnts)
     return bsums.reshape(shp), bcnts.reshape(shp)
 
 
-def _code_impl(x, px0, adr, qu, qv, qw, refine_mix: bool = True):
+def _code_impl(x, px0, adr, qu, qv, qw, tune: Tune = TUNE):
     """Row-scan coding + fold + pack for one image's modeled planes."""
     s, th, w = x.shape
-    n_class = zcodec3.layer_consts(K_STEP).n_class
+    n_class = zcodec3.layer_consts(K_STEP, tune.n_unary).n_class
+    l_tot = tune.n_unary + L_R
     img_of_lane = jnp.zeros((s,), jnp.int32)
 
     def row_body(carry, inputs):
         utab, rtab, mhist, bsums, bcnts = carry
         x_r, px0_r, adr_r, qu_r, qv_r, qw_r = inputs
-        if BIAS_SEG > 1:
-            # segment-adaptive bias: fold each W/BIAS_SEG column slice into
-            # the moments before biasing the next slice (static slices)
-            seg = w // BIAS_SEG
-            bvals = []
-            for k in range(BIAS_SEG):
-                lo, hi = k * seg, (k + 1) * seg if k < BIAS_SEG - 1 else w
-                btab = ctx_ops.quantize_bias(bsums, bcnts)
-                bvals.append(ctx_ops.pair_gather(btab, adr_r[:, lo:hi]))
-                bsums, bcnts = _bias_update(
-                    bsums, bcnts, adr_r[:, lo:hi],
-                    x_r[:, lo:hi] - px0_r[:, lo:hi],
-                )
-            bval = jnp.concatenate(bvals, axis=1)
-        else:
-            btab = ctx_ops.quantize_bias(bsums, bcnts)
-            bval = ctx_ops.pair_gather(btab, adr_r)
+        btab = ctx_ops.quantize_bias(bsums, bcnts, tune.bias_shrink)
+        bval = ctx_ops.pair_gather(btab, adr_r)
         sign = (bval >> (ctx_ops.BIAS_FRAC_BITS - 1)) & 1
         pxc = jnp.clip(
             px0_r + (bval >> ctx_ops.BIAS_FRAC_BITS) + sign, 0, MAX_VAL
@@ -322,10 +325,11 @@ def _code_impl(x, px0, adr, qu, qv, qw, refine_mix: bool = True):
         key_r = pxc * 2 + sign
         slots, (utab, rtab, mhist) = _row_code(
             utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
-            K_STEP, refine_mix,
+            K_STEP, tune,
         )
-        if BIAS_SEG == 1:
-            bsums, bcnts = _bias_update(bsums, bcnts, adr_r, x_r - px0_r)
+        bsums, bcnts = _bias_update(
+            bsums, bcnts, adr_r, x_r - px0_r, tune.bias_cap
+        )
         return (utab, rtab, mhist, bsums, bcnts), slots
 
     init = (
@@ -340,7 +344,7 @@ def _code_impl(x, px0, adr, qu, qv, qw, refine_mix: bool = True):
 
     def fold_layout(a):
         # (TH, L, S, W) -> per-lane slot order (r, c, l) -> phase-major rows
-        a = a.transpose(2, 0, 3, 1).reshape(s, th * w * L_TOT)
+        a = a.transpose(2, 0, 3, 1).reshape(s, th * w * l_tot)
         a = a.reshape(s, -1, N_PHASE).transpose(0, 2, 1)
         return a.reshape(s * N_PHASE, -1)
 
@@ -353,7 +357,7 @@ def _code_impl(x, px0, adr, qu, qv, qw, refine_mix: bool = True):
     return lengths, flat32
 
 
-def _code_near_impl(x, near: int, n_feat: int, refine_mix: bool = True):
+def _code_near_impl(x, near: int, n_feat: int, tune: Tune = TUNE):
     """Near-lossless feedback encode of one image's strips (s, th, w).
 
     The reference's near mode reconstructs each pixel as it encodes and
@@ -368,7 +372,8 @@ def _code_near_impl(x, near: int, n_feat: int, refine_mix: bool = True):
     """
     s, th, w = x.shape
     k_step = _k_step(near)
-    lc = zcodec3.layer_consts(k_step)
+    lc = zcodec3.layer_consts(k_step, tune.n_unary)
+    l_tot = tune.n_unary + L_R
     img_of_lane = jnp.zeros((s,), jnp.int32)
     n = n_feat
     m = pavp.get_m(n)
@@ -378,7 +383,7 @@ def _code_near_impl(x, near: int, n_feat: int, refine_mix: bool = True):
     def row_body(carry, inputs):
         prev1, prev2, b_row, utab, rtab, mhist, bsums, bcnts = carry
         i, x_row = inputs
-        btab = ctx_ops.quantize_bias(bsums, bcnts)
+        btab = ctx_ops.quantize_bias(bsums, bcnts, tune.bias_shrink)
         f_row = jnp.moveaxis(pavp.f_chain(jnp.moveaxis(b_row, 2, 0)), 0, 2)
         regs0 = row_start_window(i, prev1, prev2, w)
 
@@ -413,9 +418,11 @@ def _code_near_impl(x, near: int, n_feat: int, refine_mix: bool = True):
         ]
         slots, (utab, rtab, mhist) = _row_code(
             utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
-            k_step, refine_mix,
+            k_step, tune,
         )
-        bsums, bcnts = _bias_update(bsums, bcnts, adr_r, xr_r - px0_r)
+        bsums, bcnts = _bias_update(
+            bsums, bcnts, adr_r, xr_r - px0_r, tune.bias_cap
+        )
         return (
             (xr_r, prev1, b_row, utab, rtab, mhist, bsums, bcnts),
             slots,
@@ -438,7 +445,7 @@ def _code_near_impl(x, near: int, n_feat: int, refine_mix: bool = True):
 
     def fold_layout(a):
         # (TH, L, S, W) -> per-lane slot order (r, c, l) -> phase-major rows
-        a = a.transpose(2, 0, 3, 1).reshape(s, th * w * L_TOT)
+        a = a.transpose(2, 0, 3, 1).reshape(s, th * w * l_tot)
         a = a.reshape(s, -1, N_PHASE).transpose(0, 2, 1)
         return a.reshape(s * N_PHASE, -1)
 
@@ -490,9 +497,9 @@ def _container(lengths, words, h0, w0, s, th, transposed,
         height=h0,
         width=w0,
         tile_h=th,
-        # bit 0: transposed; bit 1: v2 coder (dual-counter refine mixing);
+        # bit 0: transposed; bit 1: tuned (TUNE_V2) replay contract;
         # bits 4+: AVP feature count (see utils/container.py NbtcHeader)
-        tile_w=int(transposed) | (2 * V2_CODER) | (AVP_N << 4),
+        tile_w=int(transposed) | (2 * (TUNE != TUNE_V1)) | (AVP_N << 4),
         n_tiles=s,
         bias_len=0,
         hist_len=4 * n_states,
@@ -540,19 +547,17 @@ def _encode_dispatch(imgs, th: int, near: int = 0,
         if near:
             xs = jnp.asarray(strips)
             if len(imgs) == 1:
-                len_d, flat_d = _code_near_jit(xs[0], near, AVP_N, V2_CODER)
+                len_d, flat_d = _code_near_jit(xs[0], near, AVP_N, TUNE)
                 lens_d, flats_d = len_d[None], flat_d[None]
             else:
-                lens_d, flats_d = _code_near_batch_jit(
-                    xs, near, AVP_N, V2_CODER
-                )
+                lens_d, flats_d = _code_near_batch_jit(xs, near, AVP_N, TUNE)
         elif len(imgs) == 1:
             planes = _model_jit(jnp.asarray(strips[0]), AVP_N, row_frozen)
-            len_d, flat_d = _code_jit(*planes, V2_CODER)
+            len_d, flat_d = _code_jit(*planes, TUNE)
             lens_d, flats_d = len_d[None], flat_d[None]
         else:
             planes = _model_batch_jit(jnp.asarray(strips), AVP_N, row_frozen)
-            lens_d, flats_d = _code_batch_jit(*planes, V2_CODER)
+            lens_d, flats_d = _code_batch_jit(*planes, TUNE)
     return (lens_d, flats_d, dims, tflags, s, th, near)
 
 
@@ -605,13 +610,14 @@ def encode_batches(image_groups, th: int = TH_DEFAULT,
 
 def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
                  adaptive: bool = True, n_feat: int = AVP_N,
-                 near: int = 0, refine_mix: bool = True):
+                 near: int = 0, tune: Tune = TUNE):
     """Lockstep decode: lanes = n_imgs * s strips, mirrors _encode_impl.
 
     smat: (lanes, N_PHASE, wmax) int32 per-state streams.  With
     ``adaptive`` the context-bias table is row-adaptive (replayed from
     decoded rows, bias_b ignored); otherwise bias_b: (n_imgs,
-    Q_N_CONTEXT) int32 is the legacy transmitted table.  Returns
+    Q_N_CONTEXT) int32 is the legacy transmitted table.  ``tune`` is the
+    replay contract recorded by the container version bit.  Returns
     (lanes, th, w) int32 pixels (the near-quantized reconstruction when
     ``near`` > 0, replaying the encoder's feedback scan).
     """
@@ -622,9 +628,11 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
     n = n_feat
     m = pavp.get_m(n)
     k_step = _k_step(near)
-    n_class = zcodec3.layer_consts(k_step).n_class
+    l_u = tune.n_unary
+    l_tot = l_u + L_R
+    n_class = zcodec3.layer_consts(k_step, l_u).n_class
     img_of_lane = jnp.repeat(jnp.arange(n_imgs, dtype=jnp.int32), s)
-    lc = zcodec3.layer_consts(k_step)
+    lc = zcodec3.layer_consts(k_step, l_u)
     ab = pavp._ab_vec(m)
 
     state0, _ = rans_bin.dec_init(smat)
@@ -634,7 +642,8 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
         (prev1, prev2, b_row, utab, rtab, mhist, states, ptrs,
          bsums, bcnts) = carry
         btab_b = (
-            ctx_ops.quantize_bias(bsums, bcnts) if adaptive else bias_b
+            ctx_ops.quantize_bias(bsums, bcnts, tune.bias_shrink)
+            if adaptive else bias_b
         )
         # AVPprecalcuate: F from the previous row's B state
         f_row = pavp.f_chain(jnp.moveaxis(b_row, 2, 0))  # (W, m, lanes)
@@ -648,7 +657,7 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
         regs0 = row_start_window(i, prev1, prev2, w)
 
         def code_bin(states, ptrs, slot_l, p1, active, i, j):
-            phase = ((i * w + j) * L_TOT + slot_l) % N_PHASE
+            phase = ((i * w + j) * l_tot + slot_l) % N_PHASE
             st = jax.lax.dynamic_slice_in_dim(states, phase, 1, 1)[:, 0]
             pt = jax.lax.dynamic_slice_in_dim(ptrs, phase, 1, 1)[:, 0]
             row_words = jax.lax.dynamic_slice_in_dim(smat, phase, 1, 1)[:, 0]
@@ -678,10 +687,9 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
             qv2 = zcodec3.adjust_qv(qu, qv, k_step)
             active = jnp.ones((lanes,), bool)
             stop_row = jnp.zeros((lanes,), jnp.int32)
-            stop_row_v = jnp.zeros((lanes,), jnp.int32)
             stopped = jnp.zeros((lanes,), bool)
             stop_layer = jnp.zeros((lanes,), jnp.int32)
-            for l in range(L_U):
+            for l in range(l_u):
                 ru = zcodec3.escalated_row(qu, lc.esc_counts[l], k_step)
                 rv = zcodec3.escalated_row(qv2, lc.esc_counts[l], k_step)
                 pu = _gather_prob(uprob, ru, lc.cls_vals[l])
@@ -690,7 +698,6 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
                 b, states, ptrs = code_bin(states, ptrs, l, p1, active, i, j)
                 stop_here = active & (b == 0)
                 stop_row = jnp.where(stop_here, ru, stop_row)
-                stop_row_v = jnp.where(stop_here, rv, stop_row_v)
                 stop_layer = jnp.where(stop_here, l, stop_layer)
                 stopped = stopped | stop_here
                 active = active & (b == 1)
@@ -698,7 +705,7 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
             escaped = active
             k_end = jnp.where(stopped, stop_row // k_step, 0)
             i_stop = jnp.zeros((lanes,), jnp.int32)
-            for l in range(L_U):
+            for l in range(l_u):
                 i_stop = jnp.where(stop_layer == l, lc.i_vals[l], i_stop)
             z = jnp.where(stopped, (i_stop >> lc.k_max) << k_end, 0)
 
@@ -709,15 +716,12 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
                     kk = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
                     act_r = ((k_end - 1 - l) >= 0) & stopped
                     p_ad = _gather_refine(rprob, stop_row, kk, msb)
-                    if refine_mix:
-                        p_v = _gather_refine(rprob, stop_row_v, kk, msb)
-                        p_ad = coder3.mix_prob(p_ad, p_v, qw)
                 else:
                     act_r = jnp.zeros((lanes,), bool)
                     p_ad = jnp.full((lanes,), rans_bin.BYPASS_P1, jnp.int32)
                 p1 = jnp.where(escaped, rans_bin.BYPASS_P1, p_ad)
                 b, states, ptrs = code_bin(
-                    states, ptrs, L_U + l, p1, act_r | escaped, i, j
+                    states, ptrs, l_u + l, p1, act_r | escaped, i, j
                 )
                 kkc = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
                 z = jnp.where(act_r, z + (b << kkc), z)
@@ -762,11 +766,13 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
         # replay the adaptive-state transitions exactly as the encoder
         _, (utab, rtab, mhist) = _row_code(
             utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
-            k_step, refine_mix,
+            k_step, tune,
         )
         if adaptive:
             idx = img_of_lane[:, None] * Q_N_CONTEXT + adr_r
-            bsums, bcnts = _bias_update(bsums, bcnts, idx, x_r - px0_r)
+            bsums, bcnts = _bias_update(
+                bsums, bcnts, idx, x_r - px0_r, tune.bias_cap
+            )
         return (
             (row_px, prev1, b_row, utab, rtab, mhist, states, ptrs,
              bsums, bcnts),
@@ -829,8 +835,9 @@ def _parse(stream: bytes):
     pos += 4 * n_states
     payload = np.frombuffer(stream, dtype=np.uint16, offset=pos)
     n_feat = (hdr.tile_w >> 4) or 6  # pre-AVP_N containers used 6 features
+    tune = TUNE_V2 if hdr.tile_w & 2 else TUNE_V1
     geom = (hdr.height, hdr.width, hdr.n_tiles, hdr.tile_h,
-            bool(hdr.tile_w & 1), n_feat, hdr.near, bool(hdr.tile_w & 2))
+            bool(hdr.tile_w & 1), n_feat, hdr.near, tune)
     return geom, bias, lengths, payload
 
 
@@ -845,9 +852,9 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
     parsed = [_parse(x) for x in streams]
 
     def plane_geom(g):
-        h0, w0, s, th, transposed, n_feat, near, refine_mix = g
+        h0, w0, s, th, transposed, n_feat, near, tune = g
         hh, ww = (w0, h0) if transposed else (h0, w0)
-        return (s, th, ww, n_feat, near, refine_mix)
+        return (s, th, ww, n_feat, near, tune)
 
     # images of either orientation share the encoded-plane geometry (the
     # encoder transposes portraits); only the output crop/transpose differs
@@ -858,7 +865,7 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
         for p in parsed[1:]
     ):
         return [decode(x) for x in streams]
-    s, th, ww, n_feat, near, refine_mix = plane_geom(parsed[0][0])
+    s, th, ww, n_feat, near, tune = plane_geom(parsed[0][0])
     n_imgs = len(streams)
     wmax = max(2, max(int(p[2].max()) for p in parsed))
     wmax = -(-wmax // 64) * 64
@@ -874,7 +881,7 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
             _decode_jit(
                 jnp.asarray(smat.reshape(n_imgs * s, N_PHASE, wmax)),
                 jnp.asarray(bias),
-                th, ww, s, n_imgs, adaptive, n_feat, near, refine_mix,
+                th, ww, s, n_imgs, adaptive, n_feat, near, tune,
             )
         )
     if ww % 4 == 0:  # 4-px/int32 packed fetch (LE bytes are the pixels)

@@ -35,12 +35,12 @@ import os as _os
 
 N_MAP = 20
 MAP_KEYS = 512
-MAP_BUMP = int(_os.environ.get("NBLIC_P3_MAP_BUMP", 4))
-MAP_HALVE = int(_os.environ.get("NBLIC_P3_MAP_HALVE", 4096))
-CNT_INIT = 32
-# N_QW * MAX_COUNTER (NBLIC.c:612).  Env overrides are for
-# scripts/p3_sweep.py experiments only — these are replay-contract values.
-CNT_HALVE = int(_os.environ.get("NBLIC_P3_CNT_HALVE", 8192))
+MAP_BUMP = 4      # v1 mapper decay; the tuned container version overrides
+MAP_HALVE = 4096  # these per stream via strips.Tune (replay contract)
+# Env knobs below are scripts/p3_sweep.py experiment levers only; changing
+# a default requires a new container version bit (they are replay state).
+CNT_INIT = int(_os.environ.get("NBLIC_P3_CNT_INIT", 32))
+CNT_HALVE = int(_os.environ.get("NBLIC_P3_CNT_HALVE", 8192))  # N_QW*MAX_COUNTER (NBLIC.c:612)
 QW_MAX = 32
 
 
@@ -91,19 +91,14 @@ def _oh(v, n):
 
 
 def row_updates(utab, rtab, qw, unary, refine, row_end, k_end, k_step: int,
-                row_end_v=None):
+                n_unary: int = zcodec3.N_UNARY):
     """Fold one row's coded events into the counter tables.
 
     All row planes are (L, W); ``unary``/``refine`` are zcodec3 layer lists
     for this row (escape bypass bits are priced at 1/2 and never counted).
-    ``row_end_v`` selects the v2 refine semantics: dual-counter updates at
-    the qu- and qv-escalated stop rows with the reference's (N_QW-qw, qw)
-    weights (counterUpdate from AriCodec, NBLIC.c:625-635 — the refine loop
-    codes through the same counter pair as the unary walk).  Without it the
-    legacy v1 semantics apply (single row, unit increments).
     Returns updated (utab, rtab).
     """
-    lc = zcodec3.layer_consts(k_step)
+    lc = zcodec3.layer_consts(k_step, n_unary)
     qwf = qw.astype(jnp.float32)
 
     du = jnp.zeros(utab.shape, jnp.float32)
@@ -122,36 +117,31 @@ def row_updates(utab, rtab, qw, unary, refine, row_end, k_end, k_step: int,
     dr = jnp.zeros(rtab.shape, jnp.float32)
     for l, (bit, act, msb) in enumerate(refine):
         actf = act.astype(jnp.float32)
+        ohr = _oh(row_end, zcodec3.N_ROW) * actf[..., None]
         kk = jnp.maximum(k_end - 1 - l, 0)
         ohk = _oh(kk, zcodec3.N_REFINE)
         ohm = _oh(msb, 2)
         ohb = _oh(bit, 2)
-        if row_end_v is None:
-            ohr = _oh(row_end, zcodec3.N_ROW) * actf[..., None]
-            dr = dr + jnp.einsum(
-                "lwr,lwk,lwm,lwx->lrkmx", ohr, ohk, ohm, ohb
-            , precision=jax.lax.Precision.HIGHEST)
-        else:
-            ohr = _oh(row_end, zcodec3.N_ROW) * actf[..., None]
-            ohrv = _oh(row_end_v, zcodec3.N_ROW) * actf[..., None]
-            dr = dr + jnp.einsum(
-                "lwr,lwk,lwm,lwx,lw->lrkmx", ohr, ohk, ohm, ohb, QW_MAX - qwf
-            , precision=jax.lax.Precision.HIGHEST) + jnp.einsum(
-                "lwr,lwk,lwm,lwx,lw->lrkmx", ohrv, ohk, ohm, ohb, qwf
-            , precision=jax.lax.Precision.HIGHEST)
+        dr = dr + jnp.einsum(
+            "lwr,lwk,lwm,lwx->lrkmx", ohr, ohk, ohm, ohb
+        , precision=jax.lax.Precision.HIGHEST)
     rtab = halve_pairs(rtab + dr.astype(jnp.int32), CNT_HALVE)
     return utab, rtab
 
 
-def mapper_updates(mhist, img_of_lane, key, y):
-    """Decayed per-(key, y) frequency update for one row (order-free)."""
+def mapper_updates(mhist, img_of_lane, key, y,
+                   bump: int = MAP_BUMP, halve: int = MAP_HALVE):
+    """Decayed per-(key, y) frequency update for one row (order-free).
+
+    ``bump``/``halve`` set the decay dynamic; they are replay-contract
+    values carried by the container version (strips.Tune)."""
     small = (y < N_MAP).astype(jnp.float32)
     ohy = _oh(jnp.minimum(y, N_MAP - 1), N_MAP) * small[..., None]
     ohkey = _oh(key, MAP_KEYS)
     ohimg = _oh(img_of_lane, mhist.shape[0])
     counts = jnp.einsum("lwk,lwy,lb->bky", ohkey, ohy, ohimg, precision=jax.lax.Precision.HIGHEST)
-    mhist = mhist + MAP_BUMP * counts.astype(jnp.int32)
-    over = jnp.max(mhist, axis=-1, keepdims=True) > MAP_HALVE
+    mhist = mhist + bump * counts.astype(jnp.int32)
+    over = jnp.max(mhist, axis=-1, keepdims=True) > halve
     return jnp.where(over, mhist >> 1, mhist)
 
 

@@ -112,12 +112,17 @@ def bias_moments(adr: jnp.ndarray, err: jnp.ndarray, n_ctx: int):
     return sums, cnts
 
 
-def quantize_bias(sums: jnp.ndarray, cnts: jnp.ndarray) -> jnp.ndarray:
-    """Fixed-point (2^BIAS_FRAC_BITS) rounded mean error per context."""
+def quantize_bias(sums: jnp.ndarray, cnts: jnp.ndarray,
+                  shrink: int = 0) -> jnp.ndarray:
+    """Fixed-point (2^BIAS_FRAC_BITS) rounded mean error per context.
+
+    ``shrink`` adds pseudo-counts to the denominator (James-Stein-style
+    pull toward 0 for sparsely observed contexts) — a replay-contract
+    value where the caller versions it."""
     # round-half-away-from-zero of 16*sum/cnt, in pure integer math
     # (computed on magnitudes: floor division on a sign-corrected numerator
     # would round negative means one step too negative)
-    denom = jnp.maximum(cnts, 1)
+    denom = jnp.maximum(cnts + shrink, 1)
     mag = ((jnp.abs(sums) << BIAS_FRAC_BITS) * 2 + denom) // (2 * denom)
     bias = jnp.sign(sums) * mag
     bias = jnp.where(cnts > 0, bias, 0)

@@ -237,6 +237,14 @@ def predict_chunked(stats, feats, n: int):
     nc = stats_p.shape[1] // SOLVE_CHUNK
     stats_c = stats_p.reshape(m, nc, SOLVE_CHUNK).transpose(1, 0, 2)
     feats_c = feats_p.reshape(n, nc, SOLVE_CHUNK).transpose(1, 0, 2)
+    # REQUIRED barrier (both backends): without it XLA fuses the
+    # pad/reshape/transpose above into the map body and miscompiles the
+    # int64 solve when this sits inside a larger program — predictions
+    # silently diverge at fusion-heuristic-dependent shapes (e.g. a
+    # (1, 96, 192) strip batch; kodak-sized planes happened to fuse
+    # correctly).  Measured: map+barrier == scan-chunking == the unchunked
+    # solve, on TPU and CPU; without the barrier all three disagree.
+    stats_c, feats_c = jax.lax.optimization_barrier((stats_c, feats_c))
 
     def body(args):
         s, f = args
@@ -298,7 +306,10 @@ def predict_plane(strips, n: int = N_FEAT, row_frozen: bool = False):
         jnp.arange(w)[None, None, :] + 2 < w
     )
     t_tap = jnp.where(t_ok, up2r, d64)
-    taps = (nb.a, nb.b, nb.c, nb.d, nb.e, nb.f, t_tap, nb.h, nb.q, nb.g)
+    # taps beyond the reference's 10 (N_LIST[3]) are a TPU-native extension:
+    # r=(i-2,j+2) and s=(i-2,j-2) come free from the same sampled window
+    taps = (nb.a, nb.b, nb.c, nb.d, nb.e, nb.f, t_tap, nb.h, nb.q, nb.g,
+            nb.r, nb.s)
     feats = jnp.stack(
         [jnp.asarray(v, jnp.int64) - FIT_BASE for v in taps[:n]]
     )  # (n, S, H, W)

@@ -30,14 +30,10 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-import os as _os
-
 N_ROW = 16       # activity context rows (NBLIC.c:61 N_QD)
-# unary layer budget before the raw escape (env override: experiment knob
-# for scripts/p3_sweep.py — the value is part of the stream contract)
-N_UNARY = int(_os.environ.get("NBLIC_P3_N_UNARY", 9))
+N_UNARY = 9      # default unary layer budget before the raw escape; the
+                 # strip engine's tuned profile deepens it (strips.TUNE_V2)
 N_REFINE = 5     # max binary refinement bits (k <= 15//MIN_K_STEP)
-N_LAYER = N_UNARY + N_REFINE
 # the residual fold is a bijection onto [0, 255] (mapXtoY, NBLIC.c:431-444),
 # so 8 raw bits always cover an escaped symbol
 ESCAPE_BITS = 8
@@ -53,12 +49,12 @@ class LayerConsts(NamedTuple):
     n_class: int       # distinct counter classes = 256 >> k_max
 
 
-def layer_consts(k_step: int) -> LayerConsts:
+def layer_consts(k_step: int, n_unary: int = N_UNARY) -> LayerConsts:
     k_max = (N_ROW - 1) // k_step
     step = 1 << k_max
     i_vals, esc_counts = [], []
     i, esc = 0, 0
-    for _ in range(N_UNARY):
+    for _ in range(n_unary):
         i_vals.append(i)
         esc_counts.append(esc)
         i2 = i + step
@@ -87,25 +83,25 @@ def adjust_qv(qu, qv, k_step: int):
     return jnp.where(qv // k_step != qu // k_step, qu, qv)
 
 
-def unary_layers(z, qu, qv, k_step: int):
+def unary_layers(z, qu, qv, k_step: int, n_unary: int = N_UNARY):
     """Vectorized unary walk.
 
-    z/qu/qv: int32 planes (...).  Returns per-layer lists (length N_UNARY)
-    of (row_u, row_v, bin, active) planes, plus (row_end, row_end_v, k_end,
-    escaped): the qu- and qv-escalated context rows where the walk stopped,
-    its refinement bit count, and the escape mask (still continuing after
-    the budget).  ``row_end_v`` feeds the v2 coder's dual-counter refine
-    mixing (the reference refines through the same AriCodec pair,
-    NBLIC.c:674-678).
+    z/qu/qv: int32 planes (...).  Returns per-layer lists (length
+    ``n_unary``) of (row_u, row_v, bin, active) planes, plus (row_end,
+    k_end, escaped): the context row where the walk stopped, its
+    refinement bit count, and the escape mask (still continuing after the
+    budget).  (A measured negative result: coding the refinement bits
+    through the dual-counter (row_u, row_v, qw) mixture like the
+    reference's AriCodec, NBLIC.c:674-678, cost +0.0014 bpp on Kodak-24
+    at th=512 and was removed.)
     """
-    lc = layer_consts(k_step)
+    lc = layer_consts(k_step, n_unary)
     qv = adjust_qv(qu, qv, k_step)
     active = jnp.ones(z.shape, bool)
     layers = []
     row_end = jnp.zeros_like(qu)
-    row_end_v = jnp.zeros_like(qu)
     stopped = jnp.zeros(z.shape, bool)
-    for l in range(N_UNARY):
+    for l in range(n_unary):
         row_u = escalated_row(qu, lc.esc_counts[l], k_step)
         row_v = escalated_row(qv, lc.esc_counts[l], k_step)
         k = row_u // k_step
@@ -113,11 +109,10 @@ def unary_layers(z, qu, qv, k_step: int):
         layers.append((row_u, row_v, b, active))
         stop_here = active & ~b
         row_end = jnp.where(stop_here, row_u, row_end)
-        row_end_v = jnp.where(stop_here, row_v, row_end_v)
         stopped = stopped | stop_here
         active = active & b
     k_end = jnp.where(stopped, row_end // k_step, 0)
-    return layers, row_end, row_end_v, k_end, active
+    return layers, row_end, k_end, active
 
 
 def unary_stop_value(z, qu, k_step: int):

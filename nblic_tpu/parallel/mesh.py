@@ -381,12 +381,12 @@ def _p3_dispatch_sharded(imgs, th: int, near: int, sharding):
     with jax.enable_x64():
         if near:
             lens_d, flats_d = strips._code_near_batch_jit(
-                xs, near, strips.AVP_N, strips.V2_CODER
+                xs, near, strips.AVP_N, strips.TUNE
             )
         else:
             planes = strips._model_batch_jit(xs, strips.AVP_N, False)
             lens_d, flats_d = strips._code_batch_jit(
-                *planes, strips.V2_CODER
+                *planes, strips.TUNE
             )
     return (lens_d, flats_d, dims, tflags, s, th, near)
 
@@ -417,7 +417,7 @@ def p3_decode_batch_mesh(streams: list[bytes], mesh: Mesh) -> list:
         raise ValueError(
             "p3 mesh decode requires same-geometry adaptive containers"
         )
-    s, th, ww, n_feat, near, refine_mix = plane_geom(geom0)
+    s, th, ww, n_feat, near, tune = plane_geom(geom0)
     n_imgs = len(streams)
     wmax = max(2, max(int(p[2].max()) for p in parsed))
     wmax = -(-wmax // 64) * 64
@@ -434,7 +434,7 @@ def p3_decode_batch_mesh(streams: list[bytes], mesh: Mesh) -> list:
             jax.device_put(
                 jnp.asarray(bias), NamedSharding(mesh, P("data", None))
             ),
-            th, ww, s, n_imgs, True, n_feat, near, refine_mix,
+            th, ww, s, n_imgs, True, n_feat, near, tune,
         ))
     if ww % 4 == 0:
         px = np.ascontiguousarray(px).view(np.uint8).reshape(

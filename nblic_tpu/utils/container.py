@@ -112,10 +112,11 @@ class NbtcHeader:
     Profile-3 (adaptive strip engine, models/strips.py) REINTERPRETS some
     fields — the geometry is strips, not tiles:
       tile_h  = strip height,
-      tile_w  = bit 0: image stored transposed | bit 1: v2 coder (refine
-                bits dual-counter-mixed like the unary walk; 0 = legacy v1
-                single-table refine) | bits 4+: AVP feature count
-                (0 means a legacy 6-feature container),
+      tile_w  = bit 0: image stored transposed | bit 1: tuned replay
+                contract (models/strips.TUNE_V2 adaptation constants +
+                13-layer unary budget; 0 = the original TUNE_V1 set) |
+                bits 4+: AVP feature count (0 means a legacy 6-feature
+                container),
       n_tiles = strip count,
       bias_len= 0 for the row-adaptive replayed bias (nothing transmitted);
                 nonzero marks a legacy container with a zlib'd static table,

@@ -96,7 +96,7 @@ def main() -> int:
         planes = strips._model_batch_jit(
             xs.astype(np.int32), strips.AVP_N, False
         )
-        lens_d, flats_d = strips._code_batch_jit(*planes, strips.V2_CODER)
+        lens_d, flats_d = strips._code_batch_jit(*planes, strips.TUNE)
     # fetch only this process's shards and assemble its containers
     my_streams = []
     for li, fi in zip(lens_d.addressable_shards, flats_d.addressable_shards):

@@ -9,54 +9,54 @@ import jax.numpy as jnp
 from nblic_tpu.ops import rans_bin, zcodec3
 
 
-def _walk_reference(z, qu, qv, k_step):
+def _walk_reference(z, qu, qv, k_step, n_unary):
     """Scalar Zcodec unary walk (mirrors NBLIC.c:649-672 + our budget)."""
     k_max = (zcodec3.N_ROW - 1) // k_step
     if qv // k_step != qu // k_step:
         qv = qu
     i, events = 0, []
-    for _ in range(zcodec3.N_UNARY):
+    for _ in range(n_unary):
         k = qu // k_step
         b = int((i >> k_max) < (z >> k))
         events.append((qu, qv, i, b))
         if not b:
-            return events, qu, qv, k, False
+            return events, qu, k, False
         i += 1 << k_max
         if i >= 256:
             i >>= 1
             qn = min((k + 1) * k_step, zcodec3.N_ROW - 1)
             qu = qv = qn
-    return events, qu, qv, qu // k_step, True
+    return events, qu, qu // k_step, True
 
 
 @pytest.mark.parametrize("k_step", [3, 5, 9])
-def test_unary_layers_match_scalar_walk(k_step):
+@pytest.mark.parametrize("n_unary", [9, 13])
+def test_unary_layers_match_scalar_walk(k_step, n_unary):
     rng = np.random.default_rng(3)
     z = rng.integers(0, 256, 512).astype(np.int32)
     qu = rng.integers(0, 16, 512).astype(np.int32)
     qv = np.clip(qu + rng.integers(-1, 2, 512), 0, 15).astype(np.int32)
 
-    layers, row_end, row_end_v, k_end, escaped = jax.jit(
-        zcodec3.unary_layers, static_argnums=3
-    )(jnp.asarray(z), jnp.asarray(qu), jnp.asarray(qv), k_step)
+    layers, row_end, k_end, escaped = jax.jit(
+        zcodec3.unary_layers, static_argnums=(3, 4)
+    )(jnp.asarray(z), jnp.asarray(qu), jnp.asarray(qv), k_step, n_unary)
     layers = [[np.asarray(v) for v in l] for l in layers]
 
     for p in range(512):
-        ev, end_row, end_row_v, k, esc = _walk_reference(
-            int(z[p]), int(qu[p]), int(qv[p]), k_step
+        ev, end_row, k, esc = _walk_reference(
+            int(z[p]), int(qu[p]), int(qv[p]), k_step, n_unary
         )
-        lc = zcodec3.layer_consts(k_step)
+        lc = zcodec3.layer_consts(k_step, n_unary)
         for l, (u, v, i, b) in enumerate(ev):
             ru, rv, bb, act = layers[l]
             assert act[p], (p, l)
             assert (ru[p], rv[p], int(bb[p])) == (u, v, b), (p, l)
             assert lc.i_vals[l] == i, (p, l)
-        for l in range(len(ev), zcodec3.N_UNARY):
+        for l in range(len(ev), n_unary):
             assert not layers[l][3][p]
         assert bool(np.asarray(escaped)[p]) == esc
         if not esc:
             assert int(np.asarray(row_end)[p]) == end_row
-            assert int(np.asarray(row_end_v)[p]) == end_row_v
             assert int(np.asarray(k_end)[p]) == k
 
 

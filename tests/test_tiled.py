@@ -95,3 +95,47 @@ class TestRatioRatchets:
         # the learned-predictor race may only help; parity on frames where
         # every tile keeps the blend predictor
         assert len(s2) <= len(s1) + 64, (len(s1), len(s2))
+
+
+class TestEncodeCorpus:
+    """The bench headline path: orientation merge + compact fetch."""
+
+    def test_mixed_orientation_and_shape(self, kodak01):
+        land = np.ascontiguousarray(kodak01[:128, :192])
+        port = np.ascontiguousarray(land.T)           # portrait, same plane
+        other = np.ascontiguousarray(kodak01[:64, :128])
+        imgs = [land, port, other, land]
+        streams = tiled.encode_corpus(imgs)
+        assert len(streams) == 4
+        decs = tiled.decode_batch(streams)
+        for im, d in zip(imgs, decs):
+            np.testing.assert_array_equal(im, d)
+        # same-plane portrait/landscape differ only by the transposed flag
+        # (compact fetch + merge must not perturb payloads)
+        from nblic_tpu.utils.container import NbtcHeader
+
+        assert not NbtcHeader.from_bytes(streams[0]).transposed
+        assert NbtcHeader.from_bytes(streams[1]).transposed
+        assert streams[0][NbtcHeader.SIZE:] == streams[1][NbtcHeader.SIZE:]
+
+    def test_matches_per_image_encode(self, kodak01):
+        """Compact-fetch containers == the per-image encoder's, byte for
+        byte (orientation-merge and fetch-compaction are transport-level
+        optimizations, not format changes)."""
+        imgs = [
+            np.ascontiguousarray(kodak01[:128, :192]),
+            np.ascontiguousarray(kodak01[128:256, 192:384]),
+        ]
+        corpus = tiled.encode_corpus(imgs)
+        singles = [tiled.encode(im) for im in imgs]
+        assert corpus == singles
+
+    def test_effort2_corpus(self, kodak01):
+        imgs = [
+            np.ascontiguousarray(kodak01[:128, :192]),
+            np.ascontiguousarray(kodak01[:192, :128]),
+        ]
+        streams = tiled.encode_corpus(imgs, effort=2)
+        decs = tiled.decode_batch(streams)
+        for im, d in zip(imgs, decs):
+            np.testing.assert_array_equal(im, d)
