@@ -608,35 +608,56 @@ def encode_batches(image_groups, th: int = TH_DEFAULT,
 # ---------------------------------------------------------------------------
 
 
-def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
-                 adaptive: bool = True, n_feat: int = AVP_N,
-                 near: int = 0, tune: Tune = TUNE):
-    """Lockstep decode: lanes = n_imgs * s strips, mirrors _encode_impl.
+def _decode_carry_init(smat, n_imgs: int, s: int, w: int, n_feat: int,
+                       near: int, tune: Tune):
+    """Initial decode-scan carry (window rows, AVP chains, coder tables,
+    rANS states, bias moments) for a widened (lanes, N_PHASE, wmax) smat."""
+    lanes = n_imgs * s
+    m = pavp.get_m(n_feat)
+    n_class = zcodec3.layer_consts(_k_step(near), tune.n_unary).n_class
+    state0, _ = rans_bin.dec_init(smat)
+    return (
+        jnp.zeros((lanes, w), jnp.int32),
+        jnp.zeros((lanes, w), jnp.int32),
+        jnp.zeros((m, lanes, w), jnp.int64),
+        coder3.init_unary(lanes, n_class),
+        coder3.init_refine(lanes),
+        coder3.init_mapper(n_imgs),
+        state0,
+        jnp.full((lanes, N_PHASE), 2, jnp.int32),
+        jnp.zeros((n_imgs, Q_N_CONTEXT), jnp.int32),
+        jnp.zeros((n_imgs, Q_N_CONTEXT), jnp.int32),
+    )
+
+
+def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
+                n_imgs: int, adaptive: bool = True, n_feat: int = AVP_N,
+                near: int = 0, tune: Tune = TUNE):
+    """Lockstep decode of ``rows`` rows starting at absolute row ``i0``.
+
+    Lanes = n_imgs * s strips; mirrors the encode coding scan.  The scan
+    state rides ``carry`` (see _decode_carry_init) so a tall strip decodes
+    as several device programs — one program per row segment — instead of
+    one long one: single-program execution time is bounded on the tunnel
+    TPU (a whole-image 512-row program reproducibly crashes the worker).
 
     smat: (lanes, N_PHASE, wmax) int32 per-state streams.  With
     ``adaptive`` the context-bias table is row-adaptive (replayed from
     decoded rows, bias_b ignored); otherwise bias_b: (n_imgs,
     Q_N_CONTEXT) int32 is the legacy transmitted table.  ``tune`` is the
     replay contract recorded by the container version bit.  Returns
-    (lanes, th, w) int32 pixels (the near-quantized reconstruction when
-    ``near`` > 0, replaying the encoder's feedback scan).
+    (carry', (lanes, rows, w) int32 pixels — 4-px/int32 packed when
+    w % 4 == 0; the near-quantized reconstruction when ``near`` > 0).
     """
     lanes = n_imgs * s
-    # streams arrive as int16 (halves the host upload); widen on device
-    if smat.dtype == jnp.int16:
-        smat = smat.astype(jnp.int32) & 0xFFFF
     n = n_feat
     m = pavp.get_m(n)
     k_step = _k_step(near)
     l_u = tune.n_unary
     l_tot = l_u + L_R
-    n_class = zcodec3.layer_consts(k_step, l_u).n_class
     img_of_lane = jnp.repeat(jnp.arange(n_imgs, dtype=jnp.int32), s)
     lc = zcodec3.layer_consts(k_step, l_u)
     ab = pavp._ab_vec(m)
-
-    state0, _ = rans_bin.dec_init(smat)
-    ptr0 = jnp.full((lanes, N_PHASE), 2, jnp.int32)
 
     def row_body(carry, i):
         (prev1, prev2, b_row, utab, rtab, mhist, states, ptrs,
@@ -779,26 +800,16 @@ def _decode_scan(smat, bias_b, th: int, w: int, s: int, n_imgs: int,
             row_px,
         )
 
-    init = (
-        jnp.zeros((lanes, w), jnp.int32),
-        jnp.zeros((lanes, w), jnp.int32),
-        jnp.zeros((m, lanes, w), jnp.int64),
-        coder3.init_unary(lanes, n_class),
-        coder3.init_refine(lanes),
-        coder3.init_mapper(n_imgs),
-        state0,
-        ptr0,
-        jnp.zeros((n_imgs, Q_N_CONTEXT), jnp.int32),
-        jnp.zeros((n_imgs, Q_N_CONTEXT), jnp.int32),
+    carry, out_rows = jax.lax.scan(
+        row_body, carry, i0 + jnp.arange(rows, dtype=jnp.int32)
     )
-    _, rows = jax.lax.scan(row_body, init, jnp.arange(th, dtype=jnp.int32))
-    px = jnp.moveaxis(rows, 0, 1)  # (lanes, th, w)
+    px = jnp.moveaxis(out_rows, 0, 1)  # (lanes, rows, w)
     if w % 4 == 0:
         # 4 px per int32 for the fetch (the tunnel moves uint8 at half the
         # int32 byte rate; host side unpacks with .view(np.uint8))
-        return (px[..., 0::4] | (px[..., 1::4] << 8)
-                | (px[..., 2::4] << 16) | (px[..., 3::4] << 24))
-    return px
+        px = (px[..., 0::4] | (px[..., 1::4] << 8)
+              | (px[..., 2::4] << 16) | (px[..., 3::4] << 24))
+    return carry, px
 
 
 def _gather_prob(uprob, row, cls: int):
@@ -812,7 +823,38 @@ def _gather_refine(rprob, row, kk, msb):
     return jnp.take_along_axis(t, msb[:, None], axis=1)[:, 0]
 
 
-_decode_jit = jax.jit(_decode_scan, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+_decode_seg_jit = jax.jit(
+    _decode_seg, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11)
+)
+
+# rows per decode program: bounds single-program execution time (the
+# tunnel worker dies on ~minute-long programs) while keeping the launch
+# overhead amortized; th <= SEG_ROWS decodes as one program as before
+SEG_ROWS = 128
+
+
+def _run_decode(smat_dev, bias_dev, th: int, w: int, s: int, n_imgs: int,
+                adaptive: bool, n_feat: int, near: int, tune: Tune):
+    """Drive the segmented decode: one jitted program per row segment,
+    carry threaded between launches (all segments share one compile —
+    ``i0`` is a traced input).  Returns the (lanes, th, w') pixel blocks
+    concatenated on host (w' = w/4 when packed)."""
+    n_seg = max(1, -(-th // SEG_ROWS))
+    while th % n_seg:
+        n_seg += 1
+    seg = th // n_seg
+    if smat_dev.dtype == jnp.int16:
+        # streams arrive as int16 (halves the host upload); widen on device
+        smat_dev = jnp.asarray(smat_dev).astype(jnp.int32) & 0xFFFF
+    carry = _decode_carry_init(smat_dev, n_imgs, s, w, n_feat, near, tune)
+    blocks = []
+    for k in range(n_seg):
+        carry, px = _decode_seg_jit(
+            carry, smat_dev, bias_dev, jnp.int32(k * seg), seg, w, s,
+            n_imgs, adaptive, n_feat, near, tune,
+        )
+        blocks.append(px)
+    return np.concatenate([np.asarray(b) for b in blocks], axis=1)
 
 
 def _parse(stream: bytes):
@@ -877,12 +919,10 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
     else:
         bias = np.stack([p[1] for p in parsed]).astype(np.int32)
     with jax.enable_x64():
-        px = np.asarray(
-            _decode_jit(
-                jnp.asarray(smat.reshape(n_imgs * s, N_PHASE, wmax)),
-                jnp.asarray(bias),
-                th, ww, s, n_imgs, adaptive, n_feat, near, tune,
-            )
+        px = _run_decode(
+            jnp.asarray(smat.reshape(n_imgs * s, N_PHASE, wmax)),
+            jnp.asarray(bias),
+            th, ww, s, n_imgs, adaptive, n_feat, near, tune,
         )
     if ww % 4 == 0:  # 4-px/int32 packed fetch (LE bytes are the pixels)
         px = np.ascontiguousarray(px).view(np.uint8).reshape(

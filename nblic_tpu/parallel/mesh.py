@@ -426,7 +426,7 @@ def p3_decode_batch_mesh(streams: list[bytes], mesh: Mesh) -> list:
     ).astype(np.uint16).view(np.int16)
     bias = np.zeros((n_imgs, Q_N_CONTEXT), np.int32)
     with jax.enable_x64():
-        px = np.asarray(strips._decode_jit(
+        px = strips._run_decode(
             jax.device_put(
                 jnp.asarray(smat.reshape(n_imgs * s, strips.N_PHASE, wmax)),
                 NamedSharding(mesh, P("data", None, None)),
@@ -435,7 +435,7 @@ def p3_decode_batch_mesh(streams: list[bytes], mesh: Mesh) -> list:
                 jnp.asarray(bias), NamedSharding(mesh, P("data", None))
             ),
             th, ww, s, n_imgs, True, n_feat, near, tune,
-        ))
+        )
     if ww % 4 == 0:
         px = np.ascontiguousarray(px).view(np.uint8).reshape(
             px.shape[0], th, ww
