@@ -178,7 +178,9 @@ def main() -> int:
         smat6.reshape(6 * s_cnt, strips.N_PHASE, wmax)
     )
     bias6 = jnp.zeros((6, 1), jnp.int32)  # adaptive: ignored
-    seg_rows = min(strips.SEG_ROWS, th_p3)
+    # 64 rows per marginal iteration and a 1-vs-2 trip count: the n_hi
+    # program stays ~25 s, safely under the worker's execution bound
+    seg_rows = min(64, th_p3)
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def p3_dec_loop(smat, bias, n):
@@ -197,8 +199,21 @@ def main() -> int:
 
         return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.int32))
 
+    def dec_marginal(run):
+        run(1)
+        run(2)
+        t0 = time.perf_counter()
+        run(1)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(2)
+        t_hi = time.perf_counter() - t0
+        return max(t_hi - t_lo, 1e-9)
+
     with jax.enable_x64():
-        t_p3dec = marginal(lambda n: np.asarray(p3_dec_loop(smat6, bias6, n)))
+        t_p3dec = dec_marginal(
+            lambda n: np.asarray(p3_dec_loop(smat6, bias6, n))
+        )
     px_seg = 6 * s_cnt * seg_rows * ww
     p3_dev_dec_mpix = px_seg / t_p3dec / 1e6
 

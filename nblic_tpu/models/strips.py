@@ -540,6 +540,13 @@ def _encode_dispatch(imgs, th: int, near: int = 0,
                 "orientation normalization)"
             )
     check_size(h, w)
+    if near:
+        # the near feedback encoder is a per-pixel scan (th*W steps in ONE
+        # device program — the whole-plane modeling split of the lossless
+        # path is unavailable); cap the strip height so the program stays
+        # under the platform's single-program execution bound (the same
+        # limit the segmented decoder works around, _decode_seg)
+        th = min(th, SEG_ROWS)
     th = min(th, -(-h // N_PHASE) * N_PHASE)
     strips = np.stack([_to_strips(im, th) for im in imgs])
     s = strips.shape[1]
