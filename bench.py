@@ -1,14 +1,24 @@
 """Benchmark: NBTC TPU-native codec on the Kodak-24 corpus (real chip).
 
-Prints ONE JSON line:
+Prints a JSON line after EVERY measurement leg (the driver tails stdout,
+so a timeout still captures everything measured so far; the LAST line is
+the most complete record):
   metric      = batched NBTC lossless encode throughput on one chip
   vs_baseline = ratio vs the reference C encoder at -e1 on one CPU core
                 (5.1 MPix/s measured in this container; BASELINE.md)
 Extra fields: decode throughput, bits-per-pixel vs the reference efforts,
-and round-trip validity.
+profile-3 (ratio flagship) e2e + marginal device numbers, round-trip
+validity, and the measured tunnel link floors.
+
+An internal wall-clock budget (NBLIC_BENCH_BUDGET_S, default 1080 s)
+gates each leg: when the budget is near, remaining legs are skipped and
+whatever is measured has already been printed.  Legs are ordered so the
+headline and the ratio-flagship numbers land first.
 """
 
+import functools
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -16,6 +26,7 @@ from pathlib import Path
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 # persistent compile cache: the fused encode program takes minutes to build
 # through the remote-compile tunnel; cache it across bench runs
@@ -26,215 +37,77 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 KODAK = Path("/root/reference/img_kodak")
 BASELINE_E1_ENC_MPIX_S = 5.1  # BASELINE.md: reproduced single-core C at -e1
 REF_BPP = {"e0": 4.227, "e1": 4.146, "e2": 4.088, "e3": 4.066}
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("NBLIC_BENCH_BUDGET_S", "1080"))
+REPS = 3  # median-of-3 for the e2e timings
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - T_START)
 
 
 def main() -> int:
-    from nblic_tpu.models import tiled
+    from nblic_tpu.models import strips, tiled
     from nblic_tpu.utils import imageio
+
+    result = {
+        "metric": "nbtc_kodak24_device_encode_throughput",
+        "value": 0.0,
+        "unit": "MPix/s/chip",
+        "vs_baseline": 0.0,
+        "ref_bpp": REF_BPP,
+        "legs_done": [],
+        "note": (
+            "device_* are marginal per-chip compute times (N encodes inside "
+            "one program; block_until_ready is a no-op through the axon "
+            "tunnel so only in-program marginals are honest chip numbers); "
+            "e2e_* are bounded by the tunnel (~250 ms/launch + the "
+            "tunnel_*_MBps link rates: decode must move 1 B/px down, so e2e "
+            "decode cannot exceed the link floor on this host). p3_* is the "
+            "adaptive strip engine (ratio flagship; compare p3_bpp against "
+            "ref_bpp e2/e3). A line is printed after every leg; the last "
+            "line is the most complete."
+        ),
+    }
+
+    def emit():
+        result["elapsed_s"] = round(time.perf_counter() - T_START, 1)
+        print(json.dumps(result), flush=True)
+
+    def run_leg(name, min_time_s, fn):
+        if _remaining() < min_time_s:
+            result.setdefault("legs_skipped", []).append(name)
+            emit()
+            return
+        try:
+            fn()
+            result["legs_done"].append(name)
+        except Exception as e:  # a failed leg must not kill the record
+            result.setdefault("leg_errors", {})[name] = repr(e)[:300]
+        emit()
 
     paths = sorted(KODAK.glob("*.bmp"))
     imgs = [imageio.load_image(str(p)) for p in paths]
     if not imgs:
-        print(json.dumps({"metric": "error", "value": 0, "unit": "",
-                          "vs_baseline": 0, "note": "no corpus"}))
+        result["note"] = "no corpus"
+        emit()
         return 1
     n_px = sum(im.size for im in imgs)
+    result["n_images"] = len(imgs)
 
-    # e2e production path: orientation-merged corpus encode (one device
-    # program + one compacted fetch), batched single-program decode
-    def encode_all():
-        return tiled.encode_corpus(imgs)
-
-    def decode_all(streams):
-        return tiled.decode_batch(streams)
-
-    # ---- warmup (compile) ----
-    streams = encode_all()
-    decs = decode_all(streams)
-
-    # ---- timed encode (steady state, median of 5) ----
-    reps = 5
-    t_encs = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        streams = encode_all()
-        t_encs.append(time.perf_counter() - t0)
-    t_enc = sorted(t_encs)[reps // 2]
-
-    # ---- timed decode ----
-    t_decs = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        decs = decode_all(streams)
-        t_decs.append(time.perf_counter() - t0)
-    t_dec = sorted(t_decs)[reps // 2]
-
-    ok = all(np.array_equal(d, im) for im, d in zip(imgs, decs))
-
-    # ---- profile 3 (ratio flagship): corpus bits + round-trip ----
-    from nblic_tpu.models import strips
-
-    def p3_encode_all():
-        groups = [imgs[i : i + 6] for i in range(0, len(imgs), 6)]
-        out = []
-        for streams in strips.encode_batches(groups):
-            out += streams
-        return out
-
-    p3_streams = p3_encode_all()  # warmup (compile)
-    strips.decode_batch(p3_streams)
-    t0 = time.perf_counter()
-    p3_streams = p3_encode_all()
-    t_p3_enc = time.perf_counter() - t0
-    p3_bpp = 8.0 * sum(len(s) for s in p3_streams) / n_px
-    t0 = time.perf_counter()
-    p3_decs = strips.decode_batch(p3_streams)
-    t_p3_dec = time.perf_counter() - t0
-    p3_ok = all(np.array_equal(d, im) for im, d in zip(imgs, p3_decs))
-
-    # ---- profile 3 marginal device compute ----
-    # Same marginal in-program-loop method as profile 1 below.  The two
-    # encode stages (modeling | coding) are measured as separate loops —
-    # fusing them into one program is the known compile hazard the
-    # production split avoids — and their times add (they run back to
-    # back on the same chip).  The xor keeps a carried data dependence
-    # while every perturbed value stays in the coder's valid domain.
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
-    p3_n_lo, p3_n_hi = 1, 3
-    group6 = [
-        np.ascontiguousarray(im.T) if im.shape[0] > im.shape[1] else im
-        for im in imgs[:6]
-    ]
-    xs6 = jnp.asarray(
-        np.stack([strips._to_strips(im, strips.TH_DEFAULT) for im in group6])
-    ).astype(jnp.int32)
-
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def p3_model_loop(xs, n):
-        def body(_, acc):
-            x = xs ^ (acc & 1)
-            planes = jax.vmap(
-                strips._model_planes, in_axes=(0, None, None)
-            )(x, strips.AVP_N, False)
-            return planes[1].reshape(-1)[:1]
-
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.int32))
-
-    @functools.partial(jax.jit, static_argnums=(7,))
-    def p3_code_loop(x, px0, adr, qu, qv, qw, acc0, n):
-        def body(_, acc):
-            x2 = x ^ (acc & 1)
-            fn = jax.vmap(
-                strips._code_impl, in_axes=(0, 0, 0, 0, 0, 0, None)
-            )
-            lens, _ = fn(x2, px0, adr, qu, qv, qw, strips.TUNE)
-            return lens.reshape(-1)[:1].astype(jnp.int32)
-
-        return jax.lax.fori_loop(0, n, body, acc0)
-
-    def marginal(run):
-        run(p3_n_lo)
-        run(p3_n_hi)  # warm both trip counts
-        t0 = time.perf_counter()
-        run(p3_n_lo)
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run(p3_n_hi)
-        t_hi = time.perf_counter() - t0
-        return max(t_hi - t_lo, 1e-9) / (p3_n_hi - p3_n_lo)
-
-    with jax.enable_x64():
-        t_model = marginal(lambda n: np.asarray(p3_model_loop(xs6, n)))
-        planes6 = strips._model_batch_jit(xs6, strips.AVP_N, False)
-        acc0 = jnp.zeros((1,), jnp.int32)
-        t_code = marginal(
-            lambda n: np.asarray(p3_code_loop(*planes6, acc0, n))
-        )
-    px6 = sum(im.size for im in group6)
-    p3_dev_enc_mpix = px6 / (t_model + t_code) / 1e6
-
-    # decode: one SEG_ROWS-row segment program per marginal iteration
-    # (perturbed streams decode garbage pixels but every op stays
-    # in-domain; trip counts are static so the program time is
-    # representative).  Whole-strip decode is several such programs back
-    # to back — single-program time is bounded on the tunnel worker — so
-    # the per-row device cost measured here is the honest per-chip rate.
-    p3_parsed = [strips._parse(s) for s in p3_streams]
-    s_cnt = p3_parsed[0][0][2]
-    th_p3 = p3_parsed[0][0][3]
-    ww = p3_parsed[0][0][0] if p3_parsed[0][0][4] else p3_parsed[0][0][1]
-    wmax = max(2, max(int(p[2].max()) for p in p3_parsed))
-    wmax = -(-wmax // 64) * 64
-    from nblic_tpu.ops import rans as rans_ops
-
-    smat6 = np.concatenate(
-        [rans_ops.pad_streams(p[3], p[2], wmax) for p in p3_parsed[:6]]
-    ).astype(np.uint16).view(np.int16)
-    smat6 = jnp.asarray(
-        smat6.reshape(6 * s_cnt, strips.N_PHASE, wmax)
-    )
-    bias6 = jnp.zeros((6, 1), jnp.int32)  # adaptive: ignored
-    # 64 rows per marginal iteration and a 1-vs-2 trip count: the n_hi
-    # program stays ~25 s, safely under the worker's execution bound
-    seg_rows = min(64, th_p3)
-
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def p3_dec_loop(smat, bias, n):
-        smat32 = smat.astype(jnp.int32) & 0xFFFF
-
-        def body(_, acc):
-            s2 = smat32 ^ (acc & 1)
-            carry = strips._decode_carry_init(
-                s2, 6, s_cnt, ww, strips.AVP_N, 0, strips.TUNE
-            )
-            _, px = strips._decode_seg(
-                carry, s2, bias, jnp.int32(0), seg_rows, ww, s_cnt, 6,
-                True, strips.AVP_N, 0, strips.TUNE,
-            )
-            return px.reshape(-1)[:1].astype(jnp.int32)
-
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.int32))
-
-    def dec_marginal(run):
-        run(1)
-        run(2)
-        t0 = time.perf_counter()
-        run(1)
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run(2)
-        t_hi = time.perf_counter() - t0
-        return max(t_hi - t_lo, 1e-9)
-
-    with jax.enable_x64():
-        t_p3dec = dec_marginal(
-            lambda n: np.asarray(p3_dec_loop(smat6, bias6, n))
-        )
-    px_seg = 6 * s_cnt * seg_rows * ww
-    p3_dev_dec_mpix = px_seg / t_p3dec / 1e6
-
-    # batch per distinct shape for the marginal device-compute loops below
+    # batch per distinct (orientation-normalized) shape for device loops
     groups: dict[tuple, list] = {}
     for im in imgs:
         norm = np.ascontiguousarray(im.T) if im.shape[0] > im.shape[1] else im
         groups.setdefault(norm.shape, []).append(norm)
     batches = list(groups.values())
-    all_streams = tiled.encode_batches(batches)
 
-    # device-compute-only encode throughput. The tunnel costs ~250 ms per
-    # program execution and block_until_ready is a no-op, so the only honest
-    # device measurement is marginal: run the encode N times INSIDE one
-    # program (with a carried data dependence so XLA can't hoist it) and
-    # divide the time difference by the extra iterations.
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
+    # ---- leg 1: HEADLINE — marginal device encode (profile 1) ----
+    # The tunnel costs ~250 ms per program execution and block_until_ready
+    # is a no-op, so the only honest device measurement is marginal: run
+    # the encode N times INSIDE one program (with a carried data dependence
+    # so XLA can't hoist it) and divide the time difference by the extra
+    # iterations.
     @functools.partial(jax.jit, static_argnums=1)
     def enc_loop(tiles, n):
         def body(_, acc):
@@ -245,137 +118,351 @@ def main() -> int:
         return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.int32))
 
     n_lo, n_hi = 1, 9
-    dev_t = 0.0
-    px_dev = 0
-    for batch in batches:
-        tiles = jnp.asarray(
-            np.stack([tiled.to_tiles(im, *tiled.DEFAULT_TILE) for im in batch])
-        )
-        np.asarray(enc_loop(tiles, n_lo))
-        np.asarray(enc_loop(tiles, n_hi))  # warm both variants
-        t0 = time.perf_counter()
-        np.asarray(enc_loop(tiles, n_lo))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(enc_loop(tiles, n_hi))
-        t_hi = time.perf_counter() - t0
-        dev_t += max(t_hi - t_lo, 1e-9)
-        px_dev += (n_hi - n_lo) * sum(im.size for im in batch)
-    dev_enc_mpix = px_dev / dev_t / 1e6
 
-    # device-compute decode throughput via the Mosaic kernel, same marginal
-    # method (the xor keeps a carried data dependence; decode of perturbed
-    # words is still fixed-trip and the kernel clamps its window loads)
-    from nblic_tpu.ops import pallas_decode
-
-    @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
-    def dec_loop(streams, n_active, bias, hist_n, acc, wcols, th, tw, near,
-                 g, profile, n):
-        def body(_, carry):
-            s = streams ^ (carry[0] & 1)
-            out = pallas_decode.decode_groups_pallas(
-                s, n_active, bias, hist_n, acc, wcols, th, tw, near, g,
-                profile,
+    def leg_device_encode():
+        dev_t, px_dev = 0.0, 0
+        for batch in batches:
+            tiles = jnp.asarray(
+                np.stack(
+                    [tiled.to_tiles(im, *tiled.DEFAULT_TILE) for im in batch]
+                )
             )
-            return out.reshape(-1)[:1].astype(jnp.int32)
+            np.asarray(enc_loop(tiles, n_lo))
+            np.asarray(enc_loop(tiles, n_hi))  # warm both variants
+            t0 = time.perf_counter()
+            np.asarray(enc_loop(tiles, n_lo))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(enc_loop(tiles, n_hi))
+            t_hi = time.perf_counter() - t0
+            dev_t += max(t_hi - t_lo, 1e-9)
+            px_dev += (n_hi - n_lo) * sum(im.size for im in batch)
+        mpix = px_dev / dev_t / 1e6
+        result["value"] = round(mpix, 2)
+        result["vs_baseline"] = round(mpix / BASELINE_E1_ENC_MPIX_S, 2)
 
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.int32))
+    run_leg("device_encode", 60, leg_device_encode)
 
-    dev_t = 0.0
-    px_dev = 0
-    for group_streams, batch in zip(all_streams, batches):
-        p = tiled._Parsed(group_streams[0])
-        parsed = [tiled._Parsed(s) for s in group_streams]
-        wmax = tiled._bucket(max(int(q.counts.max()) for q in parsed))
-        sm = jnp.asarray(
-            np.concatenate(
-                [q.stream_matrix32((wmax + 1) // 2) for q in parsed]
+    # ---- leg 2: e2e production path (encode + decode + bpp) ----
+    def leg_e2e():
+        def encode_all():
+            return tiled.encode_corpus(imgs)
+
+        def decode_all(streams):
+            return tiled.decode_batch(streams)
+
+        streams = encode_all()  # warmup (compile)
+        decs = decode_all(streams)
+        t_encs = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            streams = encode_all()
+            t_encs.append(time.perf_counter() - t0)
+        t_enc = sorted(t_encs)[REPS // 2]
+        t_decs = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            decs = decode_all(streams)
+            t_decs.append(time.perf_counter() - t0)
+        t_dec = sorted(t_decs)[REPS // 2]
+        ok = all(np.array_equal(d, im) for im, d in zip(imgs, decs))
+        result["e2e_encode_mpix_s"] = round(n_px / t_enc / 1e6, 2)
+        result["e2e_decode_mpix_s"] = round(n_px / t_dec / 1e6, 2)
+        result["bpp"] = round(
+            8.0 * sum(len(s) for s in streams) / n_px, 4
+        )
+        result["lossless_roundtrip_ok"] = bool(ok)
+        result["encode_s"] = round(t_enc, 3)
+        result["decode_s"] = round(t_dec, 3)
+
+    run_leg("e2e", 60, leg_e2e)
+
+    # ---- leg 3: tunnel link probe (the e2e physical floor) ----
+    def leg_tunnel():
+        mb = 9.4
+        probe = jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, 2**31, size=(int(mb * 1e6) // 4,), dtype=np.int32
             )
         )
-        na = jnp.asarray(np.concatenate([q.n_active() for q in parsed]))
-        bias = jnp.asarray(np.stack([q.bias for q in parsed]))
-        hn = jnp.asarray(np.stack([q.hist_n for q in parsed]))
-        ac = jnp.asarray(np.stack([q.acc for q in parsed]))
-        wc = jnp.asarray(np.concatenate([q.weight_cols() for q in parsed]))
-        args = (sm, na, bias, hn, ac, wc, p.hdr.tile_h, p.hdr.tile_w,
-                p.hdr.near, p.group_size, p.hdr.profile)
-        np.asarray(dec_loop(*args, n_lo))
-        np.asarray(dec_loop(*args, n_hi))
-        t0 = time.perf_counter()
-        np.asarray(dec_loop(*args, n_lo))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(dec_loop(*args, n_hi))
-        t_hi = time.perf_counter() - t0
-        dev_t += max(t_hi - t_lo, 1e-9)
-        px_dev += (n_hi - n_lo) * sum(im.size for im in batch)
-    dev_dec_mpix = px_dev / dev_t / 1e6
-    total_bytes = sum(len(s) for s in streams)
-    bpp = 8.0 * total_bytes / n_px
-    enc_mpix = n_px / t_enc / 1e6
-    dec_mpix = n_px / t_dec / 1e6
+        bump = jax.jit(lambda x: x + 1)
+        up_np = np.asarray(probe)
+        # device_put is lazy under the tunnel; force with a tiny fetch
+        t_up = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            d = jax.device_put(up_np, jax.devices()[0])
+            np.asarray(bump(d)[:1])
+            t_up = min(t_up, max(time.perf_counter() - t0, 1e-9))
+        t_dn = 1e9
+        for _ in range(3):
+            r = bump(probe)
+            t0 = time.perf_counter()
+            np.asarray(r)
+            t_dn = min(t_dn, time.perf_counter() - t0)
+        result["tunnel_up_MBps"] = round(mb / t_up, 1)
+        result["tunnel_down_MBps"] = round(mb / t_dn, 1)
+        # decode must move 1 B/px down
+        result["e2e_decode_link_floor_mpix_s"] = round(mb / t_dn, 1)
 
-    result = {
-        "metric": "nbtc_kodak24_device_encode_throughput",
-        "value": round(dev_enc_mpix, 2),
-        "unit": "MPix/s/chip",
-        "vs_baseline": round(dev_enc_mpix / BASELINE_E1_ENC_MPIX_S, 2),
-        "device_decode_mpix_s": round(dev_dec_mpix, 2),
-        "e2e_encode_mpix_s": round(enc_mpix, 2),
-        "e2e_decode_mpix_s": round(dec_mpix, 2),
-        "bpp": round(bpp, 4),
-        "p3_bpp": round(p3_bpp, 4),
-        "p3_encode_mpix_s": round(n_px / t_p3_enc / 1e6, 2),
-        "p3_decode_mpix_s": round(n_px / t_p3_dec / 1e6, 2),
-        "p3_device_encode_mpix_s": round(p3_dev_enc_mpix, 2),
-        "p3_device_decode_mpix_s": round(p3_dev_dec_mpix, 2),
-        "p3_roundtrip_ok": bool(p3_ok),
-        "ref_bpp": REF_BPP,
-        "lossless_roundtrip_ok": bool(ok),
-        "n_images": len(imgs),
-        "encode_s": round(t_enc, 3),
-        "decode_s": round(t_dec, 3),
-    }
+    run_leg("tunnel", 30, leg_tunnel)
 
-    # measure the tunnel link at bench time: e2e is transfer-bound here, so
-    # record the physical floor next to the e2e numbers (decode must move
-    # 1 B/px down; encode moves 1 B/px up + the compact containers down)
-    mb = 9.4
-    probe = jnp.asarray(
-        np.random.default_rng(0).integers(
-            0, 2**31, size=(int(mb * 1e6) // 4,), dtype=np.int32
+    # ---- leg 4: profile 3 (ratio flagship) e2e: corpus bpp + round-trip --
+    p3_streams: list = []
+
+    def leg_p3_e2e():
+        def p3_encode_all():
+            gs = [imgs[i : i + 6] for i in range(0, len(imgs), 6)]
+            out = []
+            for ss in strips.encode_batches(gs):
+                out += ss
+            return out
+
+        ss = p3_encode_all()  # warmup (compile)
+        p3_streams.extend(ss)
+        result["p3_bpp"] = round(
+            8.0 * sum(len(s) for s in ss) / n_px, 4
         )
-    )
-    bump = jax.jit(lambda x: x + 1)
-    up_np = np.asarray(probe)
-    # device_put is lazy under the tunnel; force with a tiny fetch
-    t_up = 1e9
-    for _ in range(3):
+        emit()  # bpp is the ratio headline — record it before the timings
         t0 = time.perf_counter()
-        d = jax.device_put(up_np, jax.devices()[0])
-        np.asarray(bump(d)[:1])
-        t_up = min(t_up, max(time.perf_counter() - t0, 1e-9))
-    t_dn = 1e9
-    for _ in range(3):
-        r = bump(probe)
+        p3_encode_all()
+        t_p3_enc = time.perf_counter() - t0
+        result["p3_encode_mpix_s"] = round(n_px / t_p3_enc / 1e6, 2)
+        emit()
+        p3_decs = strips.decode_batch(ss)  # warmup is the timed path too
         t0 = time.perf_counter()
-        np.asarray(r)
-        t_dn = min(t_dn, time.perf_counter() - t0)
-    link_up = mb / t_up
-    link_dn = mb / t_dn
-    result["tunnel_up_MBps"] = round(link_up, 1)
-    result["tunnel_down_MBps"] = round(link_dn, 1)
-    result["e2e_decode_link_floor_mpix_s"] = round(link_dn, 1)  # 1 B/px down
-    result["note"] = (
-        "device_* are marginal per-chip compute times (N encodes inside "
-        "one program); e2e_* are bounded by the axon tunnel (~250 ms/launch "
-        "+ the tunnel_*_MBps link rates measured just now: decode must move "
-        "1 B/px down, so e2e decode cannot exceed the link floor on this "
-        "host). p3_* is the adaptive strip engine (ratio flagship; compare "
-        "p3_bpp against ref_bpp e2/e3)"
+        p3_decs = strips.decode_batch(ss)
+        t_p3_dec = time.perf_counter() - t0
+        result["p3_decode_mpix_s"] = round(n_px / t_p3_dec / 1e6, 2)
+        result["p3_roundtrip_ok"] = bool(
+            all(np.array_equal(d, im) for im, d in zip(imgs, p3_decs))
+        )
+
+    run_leg("p3_e2e", 240, leg_p3_e2e)
+
+    # ---- leg 5: profile 3 marginal device encode ----
+    # Same marginal method.  The two encode stages (modeling | coding) are
+    # measured as separate loops — fusing them into one program is the
+    # known compile hazard the production split avoids — and their times
+    # add (they run back to back on the same chip).  The xor keeps a
+    # carried data dependence while every perturbed value stays in the
+    # coder's valid domain.
+    group6 = [
+        np.ascontiguousarray(im.T) if im.shape[0] > im.shape[1] else im
+        for im in imgs[:6]
+    ]
+
+    def leg_p3_device_encode():
+        p3_n_lo, p3_n_hi = 1, 3
+        xs6 = jnp.asarray(
+            np.stack(
+                [strips._to_strips(im, strips.TH_DEFAULT) for im in group6]
+            )
+        ).astype(jnp.int32)
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def p3_model_loop(xs, n):
+            def body(_, acc):
+                x = xs ^ (acc & 1)
+                planes = jax.vmap(
+                    strips._model_planes, in_axes=(0, None, None)
+                )(x, strips.AVP_N, False)
+                return planes[1].reshape(-1)[:1]
+
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.int32))
+
+        @functools.partial(jax.jit, static_argnums=(7,))
+        def p3_code_loop(x, px0, adr, qu, qv, qw, acc0, n):
+            def body(_, acc):
+                x2 = x ^ (acc & 1)
+                fn = jax.vmap(
+                    strips._code_impl, in_axes=(0, 0, 0, 0, 0, 0, None)
+                )
+                lens, _ = fn(x2, px0, adr, qu, qv, qw, strips.TUNE)
+                return lens.reshape(-1)[:1].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, n, body, acc0)
+
+        def marginal(run):
+            run(p3_n_lo)
+            run(p3_n_hi)  # warm both trip counts
+            t0 = time.perf_counter()
+            run(p3_n_lo)
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run(p3_n_hi)
+            t_hi = time.perf_counter() - t0
+            return max(t_hi - t_lo, 1e-9) / (p3_n_hi - p3_n_lo)
+
+        with jax.enable_x64():
+            t_model = marginal(lambda n: np.asarray(p3_model_loop(xs6, n)))
+            planes6 = strips._model_batch_jit(xs6, strips.AVP_N, False)
+            acc0 = jnp.zeros((1,), jnp.int32)
+            t_code = marginal(
+                lambda n: np.asarray(p3_code_loop(*planes6, acc0, n))
+            )
+        px6 = sum(im.size for im in group6)
+        result["p3_device_encode_mpix_s"] = round(
+            px6 / (t_model + t_code) / 1e6, 2
+        )
+
+    run_leg("p3_device_encode", 180, leg_p3_device_encode)
+
+    # ---- leg 6: profile 3 marginal device decode ----
+    # One SEG_ROWS-row segment program per marginal iteration (perturbed
+    # streams decode garbage pixels but every op stays in-domain; trip
+    # counts are static so the program time is representative).  A whole
+    # strip decodes as several such programs back to back — single-program
+    # execution time is bounded on the tunnel worker — so the per-row
+    # device cost measured here is the honest per-chip rate.
+    def leg_p3_device_decode():
+        from nblic_tpu.ops import rans as rans_ops
+
+        if not p3_streams:
+            p3_streams.extend(
+                s
+                for ss in strips.encode_batches(
+                    [imgs[i : i + 6] for i in range(0, len(imgs), 6)]
+                )
+                for s in ss
+            )
+        p3_parsed = [strips._parse(s) for s in p3_streams]
+        s_cnt = p3_parsed[0][0][2]
+        th_p3 = p3_parsed[0][0][3]
+        ww = p3_parsed[0][0][0] if p3_parsed[0][0][4] else p3_parsed[0][0][1]
+        tune = p3_parsed[0][0][7]
+        wmax = max(2, max(int(p[2].max()) for p in p3_parsed))
+        wmax = -(-wmax // 64) * 64
+        n_str = len(p3_parsed)
+        smat_np = np.concatenate(
+            [rans_ops.pad_streams(p[3], p[2], wmax) for p in p3_parsed]
+        ).astype(np.uint16).view(np.int16)
+        smat_np = smat_np.reshape(n_str * s_cnt, strips.N_PHASE, wmax)
+        # 64 rows per marginal iteration and a 1-vs-2 trip count keeps the
+        # n_hi program safely under the worker's execution bound
+        seg_rows = min(64, th_p3)
+
+        def make_loop(n_imgs):
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def p3_dec_loop(smat, bias, n):
+                smat32 = smat.astype(jnp.int32) & 0xFFFF
+
+                def body(_, acc):
+                    s2 = smat32 ^ (acc & 1)
+                    carry = strips._decode_carry_init(
+                        s2, n_imgs, s_cnt, ww, strips.AVP_N, 0, tune
+                    )
+                    _, px = strips._decode_seg(
+                        carry, s2, bias, jnp.int32(0), seg_rows, ww,
+                        s_cnt, n_imgs, True, strips.AVP_N, 0, tune,
+                    )
+                    return px.reshape(-1)[:1].astype(jnp.int32)
+
+                return jax.lax.fori_loop(
+                    0, n, body, jnp.zeros((1,), jnp.int32)
+                )
+
+            return p3_dec_loop
+
+        def dec_marginal(run):
+            run(1)
+            run(2)
+            t0 = time.perf_counter()
+            run(1)
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run(2)
+            t_hi = time.perf_counter() - t0
+            return max(t_hi - t_lo, 1e-9)
+
+        # (a) the 24 real corpus streams decoded concurrently (the honest
+        # per-chip corpus number)
+        loop24 = make_loop(n_str)
+        smat24 = jnp.asarray(smat_np)
+        bias24 = jnp.zeros((n_str, 1), jnp.int32)  # adaptive: ignored
+        with jax.enable_x64():
+            t_dec = dec_marginal(
+                lambda n: np.asarray(loop24(smat24, bias24, n))
+            )
+        px_seg = n_str * s_cnt * seg_rows * ww
+        result["p3_device_decode_mpix_s"] = round(px_seg / t_dec / 1e6, 2)
+        emit()
+        # (b) serving-shaped scale-out: the same corpus tiled 8x (192
+        # concurrent streams); per-pixel walk ops are latency-bound at 24
+        # lanes, so concurrent streams buy nearly free throughput
+        dup = 8
+        loop_many = make_loop(n_str * dup)
+        smat_many = jnp.asarray(np.tile(smat_np, (dup, 1, 1)))
+        bias_many = jnp.zeros((n_str * dup, 1), jnp.int32)
+        with jax.enable_x64():
+            t_many = dec_marginal(
+                lambda n: np.asarray(loop_many(smat_many, bias_many, n))
+            )
+        result["p3_device_decode_mpix_s_192streams"] = round(
+            dup * px_seg / t_many / 1e6, 2
+        )
+
+    run_leg("p3_device_decode", 180, leg_p3_device_decode)
+
+    # ---- leg 7: marginal device decode (profile 1, Mosaic kernel) ----
+    def leg_device_decode():
+        from nblic_tpu.ops import pallas_decode
+
+        all_streams = tiled.encode_batches(batches)
+
+        @functools.partial(
+            jax.jit, static_argnums=(6, 7, 8, 9, 10, 11)
+        )
+        def dec_loop(streams, n_active, bias, hist_n, acc, wcols, th, tw,
+                     near, g, profile, n):
+            def body(_, carry):
+                s = streams ^ (carry[0] & 1)
+                out = pallas_decode.decode_groups_pallas(
+                    s, n_active, bias, hist_n, acc, wcols, th, tw, near, g,
+                    profile,
+                )
+                return out.reshape(-1)[:1].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.int32))
+
+        dev_t, px_dev = 0.0, 0
+        for group_streams, batch in zip(all_streams, batches):
+            p = tiled._Parsed(group_streams[0])
+            parsed = [tiled._Parsed(s) for s in group_streams]
+            wmax = tiled._bucket(max(int(q.counts.max()) for q in parsed))
+            sm = jnp.asarray(
+                np.concatenate(
+                    [q.stream_matrix32((wmax + 1) // 2) for q in parsed]
+                )
+            )
+            na = jnp.asarray(np.concatenate([q.n_active() for q in parsed]))
+            bias = jnp.asarray(np.stack([q.bias for q in parsed]))
+            hn = jnp.asarray(np.stack([q.hist_n for q in parsed]))
+            ac = jnp.asarray(np.stack([q.acc for q in parsed]))
+            wc = jnp.asarray(
+                np.concatenate([q.weight_cols() for q in parsed])
+            )
+            args = (sm, na, bias, hn, ac, wc, p.hdr.tile_h, p.hdr.tile_w,
+                    p.hdr.near, p.group_size, p.hdr.profile)
+            np.asarray(dec_loop(*args, n_lo))
+            np.asarray(dec_loop(*args, n_hi))
+            t0 = time.perf_counter()
+            np.asarray(dec_loop(*args, n_lo))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(dec_loop(*args, n_hi))
+            t_hi = time.perf_counter() - t0
+            dev_t += max(t_hi - t_lo, 1e-9)
+            px_dev += (n_hi - n_lo) * sum(im.size for im in batch)
+        result["device_decode_mpix_s"] = round(px_dev / dev_t / 1e6, 2)
+
+    run_leg("device_decode", 120, leg_device_decode)
+
+    emit()
+    ok = result.get("lossless_roundtrip_ok", False) and result.get(
+        "p3_roundtrip_ok", True
     )
-    print(json.dumps(result))
-    return 0 if ok and p3_ok else 1
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

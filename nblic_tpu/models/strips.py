@@ -78,31 +78,63 @@ PROFILE = 3
 
 
 class Tune(NamedTuple):
-    """Replay-contract constants carried by the container version.
+    """Replay-contract constants — SERIALIZED in every new container.
 
-    These govern the adaptive-state transitions the decoder replays, so a
-    container's version bit (tile_w bit 1) selects the set: TUNE_V1 is the
-    original profile-3 contract, TUNE_V2 the Kodak-swept one (4.0898 vs
-    4.1003 bpp at th=512).  Env overrides exist for scripts/p3_sweep.py
-    experiments only — a process decoding a sweep container must run with
-    the same overrides."""
+    These govern the adaptive-state transitions the decoder replays.  New
+    containers carry all five constants in a 10-byte block after the
+    header (tile_w bit 2; utils/container.py), so decode never consults
+    process state.  Legacy containers without the block map their version
+    bit (tile_w bit 1) to the fixed named sets: TUNE_V1 is the original
+    profile-3 contract, TUNE_V2 the Kodak-swept one (4.0898 vs 4.1003 bpp
+    at th=512).  Env overrides exist for scripts/p3_sweep.py experiments
+    only — they change what new containers are ENCODED with; any process
+    can decode them because the constants ride the container."""
 
     bias_cap: int     # halve the bias moment pairs past this count
     map_bump: int     # mapper count increment per event
     map_halve: int    # halve mapper counts past this max
     n_unary: int      # unary layer budget before the raw escape
     bias_shrink: int  # pseudo-counts pulling sparse-context bias to 0
+    n_seg: int = 1    # column segments per row for counter adaptation
+                      # (the unary/refine counters update n_seg times per
+                      # row — sub-row granularity; mapper + bias stay
+                      # row-frozen, measured neutral at sub-row)
+
+    SIZE = 12  # serialized: 6 little-endian u16
+
+    def to_bytes(self) -> bytes:
+        return np.asarray(self, dtype="<u2").tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Tune":
+        if len(data) < cls.SIZE:
+            raise ValueError("truncated profile-3 tune block")
+        return cls(
+            *(int(v) for v in np.frombuffer(data[: cls.SIZE], dtype="<u2"))
+        )
 
 
-TUNE_V1 = Tune(2048, 4, 4096, 9, 0)
-TUNE_V2 = Tune(
-    int(_os.environ.get("NBLIC_P3_BIAS_CAP", 256)),
-    int(_os.environ.get("NBLIC_P3_MAP_BUMP", 2)),
-    int(_os.environ.get("NBLIC_P3_MAP_HALVE", 512)),
-    int(_os.environ.get("NBLIC_P3_N_UNARY", 13)),
-    int(_os.environ.get("NBLIC_P3_BIAS_SHRINK", 16)),
+TUNE_V1 = Tune(2048, 4, 4096, 9, 0, 1)
+TUNE_V2 = Tune(256, 2, 512, 13, 16, 1)
+# what new containers are encoded with (env overrides are sweep-only; the
+# chosen constants are serialized into the container either way)
+TUNE = Tune(
+    int(_os.environ.get("NBLIC_P3_BIAS_CAP", TUNE_V2.bias_cap)),
+    int(_os.environ.get("NBLIC_P3_MAP_BUMP", TUNE_V2.map_bump)),
+    int(_os.environ.get("NBLIC_P3_MAP_HALVE", TUNE_V2.map_halve)),
+    int(_os.environ.get("NBLIC_P3_N_UNARY", TUNE_V2.n_unary)),
+    int(_os.environ.get("NBLIC_P3_BIAS_SHRINK", TUNE_V2.bias_shrink)),
+    int(_os.environ.get("NBLIC_P3_N_SEG", TUNE_V2.n_seg)),
 )
-TUNE = TUNE_V2  # what new containers are encoded with
+
+
+def _eff_seg(n_seg: int, w: int) -> int:
+    """Effective column-segment count: the largest divisor of ``w`` not
+    above the requested ``n_seg`` (deterministic from the container)."""
+    n = max(1, min(int(n_seg), w))
+    while w % n:
+        n -= 1
+    return n
 
 
 # ---------------------------------------------------------------------------
@@ -130,25 +162,22 @@ def _refine_prob_plane(rtab_prob, row_end, kk, msb):
     return jnp.where(msb == 1, p1, p0).astype(jnp.int32)
 
 
-def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
-              k_step: int = K_STEP, tune: Tune = TUNE):
-    """One row of the coding model: per-slot (prob, bin, mask) + new state.
-
-    All row planes are (L, W).  The decoder calls this with its *decoded*
-    row to replay the adaptive-state transition bit-exactly; ``tune`` is
-    the container's replay-contract constants."""
-    lc = zcodec3.layer_consts(k_step, tune.n_unary)
-    ranks, _ = coder3.mapper_ranks(mhist)
-    z = jnp.where(
-        y_r < coder3.N_MAP,
-        coder3.mapper_lookup(ranks, img_of_lane, key_r, y_r),
-        y_r,
-    )
+def _code_events(z, qu_r, qv_r, k_step: int, n_unary: int):
+    """Layer decomposition of a (decoded or true) symbol plane: the coded
+    events whose probabilities and counter updates the contract defines."""
     unary, row_end, k_end, escaped = zcodec3.unary_layers(
-        z, qu_r, qv_r, k_step, tune.n_unary
+        z, qu_r, qv_r, k_step, n_unary
     )
     refine = zcodec3.refine_layers(z, k_end, escaped)
+    return unary, refine, row_end, k_end, escaped
 
+
+def _seg_slots_update(utab, rtab, z, qw_r, unary, refine, row_end, k_end,
+                      escaped, k_step: int, tune: Tune):
+    """Per-slot (prob, bin, mask) for one column segment from the CURRENT
+    counter tables, then fold the segment's events back into them.  The
+    decoder replays the identical update from its decoded planes."""
+    lc = zcodec3.layer_consts(k_step, tune.n_unary)
     uprob = coder3.prob_table(utab)
     rprob = coder3.prob_table(rtab)
     probs, bins, masks = [], [], []
@@ -176,13 +205,85 @@ def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
         utab, rtab, qw_r, unary, refine, row_end, k_end, k_step,
         tune.n_unary,
     )
+    return (
+        (jnp.stack(probs), jnp.stack(bins), jnp.stack(masks)),
+        (utab, rtab),
+    )
+
+
+def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
+              k_step: int = K_STEP, tune: Tune = TUNE):
+    """One row of the coding model: per-slot (prob, bin, mask) + new state.
+
+    All row planes are (L, W).  With ``tune.n_seg`` > 1 the unary/refine
+    counters update after every W/n_seg-column segment (sub-row
+    adaptation: the reference updates per symbol, NBLIC.c:595-618; row
+    granularity measured +0.0076 bpp on Kodak in a reference ablation);
+    the mapper and bias stay row-frozen (measured neutral).  The decoder
+    replays the identical transitions from its decoded planes; ``tune``
+    is the container's replay-contract constants."""
+    ranks, _ = coder3.mapper_ranks(mhist)
+    z = jnp.where(
+        y_r < coder3.N_MAP,
+        coder3.mapper_lookup(ranks, img_of_lane, key_r, y_r),
+        y_r,
+    )
+    unary, refine, row_end, k_end, escaped = _code_events(
+        z, qu_r, qv_r, k_step, tune.n_unary
+    )
+    w = y_r.shape[-1]
+    n_seg = _eff_seg(tune.n_seg, w)
+    if n_seg == 1:
+        slots, (utab, rtab) = _seg_slots_update(
+            utab, rtab, z, qw_r, unary, refine, row_end, k_end, escaped,
+            k_step, tune,
+        )
+    else:
+        ws = w // n_seg
+        l_u = tune.n_unary
+
+        def segview(a):  # (L, W) -> (n_seg, L, ws)
+            return a.reshape(a.shape[0], n_seg, ws).transpose(1, 0, 2)
+
+        xs = (
+            jnp.stack([segview(u[0]) for u in unary], 1),
+            jnp.stack([segview(u[1]) for u in unary], 1),
+            jnp.stack([segview(u[2]) for u in unary], 1),
+            jnp.stack([segview(u[3]) for u in unary], 1),
+            jnp.stack([segview(r[0]) for r in refine], 1),
+            jnp.stack([segview(r[1]) for r in refine], 1),
+            jnp.stack([segview(r[2]) for r in refine], 1),
+            segview(row_end), segview(k_end), segview(escaped),
+            segview(z), segview(qw_r),
+        )
+
+        def seg_body(carry, x):
+            ru, rv, b, act, bit, ract, msb, re_, ke, esc, z_, qw_ = x
+            un = [(ru[l], rv[l], b[l], act[l]) for l in range(l_u)]
+            rf = [
+                (bit[l], ract[l], msb[l])
+                for l in range(zcodec3.N_REFINE)
+            ]
+            slots, carry = _seg_slots_update(
+                carry[0], carry[1], z_, qw_, un, rf, re_, ke, esc,
+                k_step, tune,
+            )
+            return carry, slots
+
+        (utab, rtab), (p_s, b_s, m_s) = jax.lax.scan(
+            seg_body, (utab, rtab), xs
+        )
+
+        def unseg(a):  # (n_seg, Ltot, L, ws) -> (Ltot, L, W)
+            return a.transpose(1, 2, 0, 3).reshape(
+                a.shape[1], a.shape[2], w
+            )
+
+        slots = (unseg(p_s), unseg(b_s), unseg(m_s))
     mhist = coder3.mapper_updates(
         mhist, img_of_lane, key_r, y_r, tune.map_bump, tune.map_halve
     )
-    return (
-        (jnp.stack(probs), jnp.stack(bins), jnp.stack(masks)),
-        (utab, rtab, mhist),
-    )
+    return slots, (utab, rtab, mhist)
 
 
 # ---------------------------------------------------------------------------
@@ -486,7 +587,7 @@ def _to_strips(img: np.ndarray, th: int) -> np.ndarray:
 
 
 def _container(lengths, words, h0, w0, s, th, transposed,
-               near: int = 0) -> bytes:
+               near: int = 0, tune: Tune = TUNE) -> bytes:
     # bias_len == 0 marks the row-adaptive bias (nothing transmitted);
     # legacy containers carry a zlib'd static table there and still decode
     n_states = s * N_PHASE
@@ -497,15 +598,17 @@ def _container(lengths, words, h0, w0, s, th, transposed,
         height=h0,
         width=w0,
         tile_h=th,
-        # bit 0: transposed; bit 1: tuned (TUNE_V2) replay contract;
-        # bits 4+: AVP feature count (see utils/container.py NbtcHeader)
-        tile_w=int(transposed) | (2 * (TUNE != TUNE_V1)) | (AVP_N << 4),
+        # bit 0: transposed; bit 1: legacy tune-version bit; bit 2: the
+        # 10-byte serialized Tune block follows the header (all new
+        # containers); bits 4+: AVP feature count (utils/container.py)
+        tile_w=int(transposed) | (2 * (tune != TUNE_V1)) | 4 | (AVP_N << 4),
         n_tiles=s,
         bias_len=0,
         hist_len=4 * n_states,
     )
     return (
         hdr.to_bytes()
+        + tune.to_bytes()
         + lengths.astype("<u4").tobytes()
         + words.tobytes()
     )
@@ -565,14 +668,14 @@ def _encode_dispatch(imgs, th: int, near: int = 0,
         else:
             planes = _model_batch_jit(jnp.asarray(strips), AVP_N, row_frozen)
             lens_d, flats_d = _code_batch_jit(*planes, TUNE)
-    return (lens_d, flats_d, dims, tflags, s, th, near)
+    return (lens_d, flats_d, dims, tflags, s, th, near, TUNE)
 
 
 def _encode_finalize(work) -> list[bytes]:
     """Fetch a dispatched batch (lengths, then only each packed stream's
     live prefix — the padded fold buffer is ~40x the compressed size and
     the tunnel is the bottleneck) and emit containers."""
-    lens_d, flats_d, dims, tflags, s, th, near = work
+    lens_d, flats_d, dims, tflags, s, th, near, tune = work
     lens = np.asarray(lens_d, np.uint32)
     totals = [int(m.sum() + 1) // 2 for m in lens.astype(np.int64)]
     flat_np = np.asarray(flats_d[:, : max(totals)])
@@ -585,7 +688,7 @@ def _encode_finalize(work) -> list[bytes]:
         u16[1::2] = w32 >> 16
         out.append(
             _container(lens[b], u16[:n_words], dims[b][0], dims[b][1], s,
-                       th, tflags[b], near)
+                       th, tflags[b], near, tune)
         )
     return out
 
@@ -665,6 +768,21 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
     img_of_lane = jnp.repeat(jnp.arange(n_imgs, dtype=jnp.int32), s)
     lc = zcodec3.layer_consts(k_step, l_u)
     ab = pavp._ab_vec(m)
+    n_seg = _eff_seg(tune.n_seg, w)
+    ws = w // n_seg
+    wmax = smat.shape[-1]
+    words_flat = smat.reshape(lanes, N_PHASE * wmax)
+
+    # The rANS states/ptrs are walked in a ROTATED (virtual-phase) layout
+    # inside this program: pixel ap's slot l lives at physical phase
+    # (ap*l_tot + l) % N_PHASE, and l_tot is coprime-free mod N_PHASE only
+    # in its constant advance — so carrying the arrays pre-rotated by the
+    # current pixel's base makes every per-bin state access a STATIC
+    # column (no dynamic slices in the per-bin hot path; measured, the
+    # dynamic-slice form dominated the decode critical path).  The rotate
+    # by l_tot % N_PHASE per pixel is a static concat; only the entry/exit
+    # conversions below use a (traced) gather, once per program.
+    rot = l_tot % N_PHASE
 
     def row_body(carry, i):
         (prev1, prev2, b_row, utab, rtab, mhist, states, ptrs,
@@ -677,124 +795,177 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
         f_row = pavp.f_chain(jnp.moveaxis(b_row, 2, 0))  # (W, m, lanes)
         f_row = jnp.moveaxis(f_row, 0, 2)  # (m, lanes, W)
 
-        uprob = coder3.prob_table(utab)
-        rprob = coder3.prob_table(rtab)
         _, order = coder3.mapper_ranks(mhist)
         order_l = jnp.take(order, img_of_lane, axis=0)  # (lanes, 512, N_MAP)
 
         regs0 = row_start_window(i, prev1, prev2, w)
 
-        def code_bin(states, ptrs, slot_l, p1, active, i, j):
-            phase = ((i * w + j) * l_tot + slot_l) % N_PHASE
-            st = jax.lax.dynamic_slice_in_dim(states, phase, 1, 1)[:, 0]
-            pt = jax.lax.dynamic_slice_in_dim(ptrs, phase, 1, 1)[:, 0]
-            row_words = jax.lax.dynamic_slice_in_dim(smat, phase, 1, 1)[:, 0]
+        def code_bin(states, ptrs, slot_l, p1, active, base):
+            # states/ptrs are in the rotated layout: slot_l is a STATIC
+            # column; only the stream-word fetch needs the physical phase
+            c = slot_l % N_PHASE
+            st = states[:, c]
+            pt = ptrs[:, c]
             b, st2 = rans_bin.dec_bit(st, p1)
-            st2, pt2 = rans_bin.dec_renorm(st2, pt, row_words)
+            need = st2 < rans_bin.ANS_LOW
+            phys = (base + slot_l) % N_PHASE
+            idx = phys * wmax + jnp.minimum(pt, wmax - 1)
+            nxt = jnp.take_along_axis(
+                words_flat, idx[:, None], axis=1
+            )[:, 0]
+            st2 = jnp.where(
+                need,
+                (st2 << rans_bin.ANS_BITS) | nxt.astype(jnp.uint32),
+                st2,
+            )
+            pt2 = pt + need.astype(jnp.int32)
             st = jnp.where(active, st2, st)
             pt = jnp.where(active, pt2, pt)
-            states = jax.lax.dynamic_update_slice_in_dim(
-                states, st[:, None], phase, 1
-            )
-            ptrs = jax.lax.dynamic_update_slice_in_dim(
-                ptrs, pt[:, None], phase, 1
-            )
+            states = states.at[:, c].set(st)
+            ptrs = ptrs.at[:, c].set(pt)
             return jnp.where(active, b, 0), states, ptrs
 
-        def col_body(ccarry, j):
-            regs, err, row_px, e_acc, b_row, states, ptrs = ccarry
-            nb, px_s, feats, stats, px0, qu, qv, qw, adr = _pixel_features(
-                regs, prev1, err, f_row[:, :, j], e_acc, i, j, w, n
-            )
-            bias = jnp.take_along_axis(
-                btab_b, adr.reshape(n_imgs, s), axis=1
-            ).reshape(lanes)
-            sign, pxc, key = _pixel_correct(px0, bias)
+        def seg_scan(scarry, j0):
+            """Decode one ws-column segment with counters frozen at its
+            start, then fold the segment's events into them (the encoder's
+            _row_code does the identical per-segment transition)."""
+            regs, err, e_acc, b_row, utab, rtab, states, ptrs = scarry
+            uprob = coder3.prob_table(utab)
+            rprob = coder3.prob_table(rtab)
 
-            # unary walk
-            qv2 = zcodec3.adjust_qv(qu, qv, k_step)
-            active = jnp.ones((lanes,), bool)
-            stop_row = jnp.zeros((lanes,), jnp.int32)
-            stopped = jnp.zeros((lanes,), bool)
-            stop_layer = jnp.zeros((lanes,), jnp.int32)
-            for l in range(l_u):
-                ru = zcodec3.escalated_row(qu, lc.esc_counts[l], k_step)
-                rv = zcodec3.escalated_row(qv2, lc.esc_counts[l], k_step)
-                pu = _gather_prob(uprob, ru, lc.cls_vals[l])
-                pv = _gather_prob(uprob, rv, lc.cls_vals[l])
-                p1 = coder3.mix_prob(pu, pv, qw)
-                b, states, ptrs = code_bin(states, ptrs, l, p1, active, i, j)
-                stop_here = active & (b == 0)
-                stop_row = jnp.where(stop_here, ru, stop_row)
-                stop_layer = jnp.where(stop_here, l, stop_layer)
-                stopped = stopped | stop_here
-                active = active & (b == 1)
-
-            escaped = active
-            k_end = jnp.where(stopped, stop_row // k_step, 0)
-            i_stop = jnp.zeros((lanes,), jnp.int32)
-            for l in range(l_u):
-                i_stop = jnp.where(stop_layer == l, lc.i_vals[l], i_stop)
-            z = jnp.where(stopped, (i_stop >> lc.k_max) << k_end, 0)
-
-            # refine / escape
-            msb = jnp.zeros((lanes,), jnp.int32)
-            for l in range(L_R):
-                if l < zcodec3.N_REFINE:
-                    kk = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
-                    act_r = ((k_end - 1 - l) >= 0) & stopped
-                    p_ad = _gather_refine(rprob, stop_row, kk, msb)
-                else:
-                    act_r = jnp.zeros((lanes,), bool)
-                    p_ad = jnp.full((lanes,), rans_bin.BYPASS_P1, jnp.int32)
-                p1 = jnp.where(escaped, rans_bin.BYPASS_P1, p_ad)
-                b, states, ptrs = code_bin(
-                    states, ptrs, l_u + l, p1, act_r | escaped, i, j
+            def col_body(ccarry, j):
+                regs, err, e_acc, b_row, states, ptrs = ccarry
+                nb, px_s, feats, stats, px0, qu, qv, qw, adr = (
+                    _pixel_features(
+                        regs, prev1, err, f_row[:, :, j], e_acc, i, j, w, n
+                    )
                 )
-                kkc = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
-                z = jnp.where(act_r, z + (b << kkc), z)
-                z = jnp.where(
-                    escaped, z + (b << (zcodec3.ESCAPE_BITS - 1 - l)), z
+                bias = jnp.take_along_axis(
+                    btab_b, adr.reshape(n_imgs, s), axis=1
+                ).reshape(lanes)
+                sign, pxc, key = _pixel_correct(px0, bias)
+                base = ((i * w + j) * l_tot) % N_PHASE
+
+                # unary walk
+                qv2 = zcodec3.adjust_qv(qu, qv, k_step)
+                active = jnp.ones((lanes,), bool)
+                stop_row = jnp.zeros((lanes,), jnp.int32)
+                stopped = jnp.zeros((lanes,), bool)
+                stop_layer = jnp.zeros((lanes,), jnp.int32)
+                for l in range(l_u):
+                    ru = zcodec3.escalated_row(qu, lc.esc_counts[l], k_step)
+                    rv = zcodec3.escalated_row(qv2, lc.esc_counts[l], k_step)
+                    pu = _gather_prob(uprob, ru, lc.cls_vals[l])
+                    pv = _gather_prob(uprob, rv, lc.cls_vals[l])
+                    p1 = coder3.mix_prob(pu, pv, qw)
+                    b, states, ptrs = code_bin(
+                        states, ptrs, l, p1, active, base
+                    )
+                    stop_here = active & (b == 0)
+                    stop_row = jnp.where(stop_here, ru, stop_row)
+                    stop_layer = jnp.where(stop_here, l, stop_layer)
+                    stopped = stopped | stop_here
+                    active = active & (b == 1)
+
+                escaped = active
+                k_end = jnp.where(stopped, stop_row // k_step, 0)
+                i_stop = jnp.zeros((lanes,), jnp.int32)
+                for l in range(l_u):
+                    i_stop = jnp.where(stop_layer == l, lc.i_vals[l], i_stop)
+                z = jnp.where(stopped, (i_stop >> lc.k_max) << k_end, 0)
+
+                # refine / escape
+                msb = jnp.zeros((lanes,), jnp.int32)
+                for l in range(L_R):
+                    if l < zcodec3.N_REFINE:
+                        kk = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
+                        act_r = ((k_end - 1 - l) >= 0) & stopped
+                        p_ad = _gather_refine(rprob, stop_row, kk, msb)
+                    else:
+                        act_r = jnp.zeros((lanes,), bool)
+                        p_ad = jnp.full(
+                            (lanes,), rans_bin.BYPASS_P1, jnp.int32
+                        )
+                    p1 = jnp.where(escaped, rans_bin.BYPASS_P1, p_ad)
+                    b, states, ptrs = code_bin(
+                        states, ptrs, l_u + l, p1, act_r | escaped, base
+                    )
+                    kkc = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
+                    z = jnp.where(act_r, z + (b << kkc), z)
+                    z = jnp.where(
+                        escaped, z + (b << (zcodec3.ESCAPE_BITS - 1 - l)), z
+                    )
+                    msb = jnp.where(act_r & (b == 1) & (msb == 0), 1, msb)
+
+                # pixel reconstruction
+                zc = jnp.clip(z, 0, coder3.N_MAP - 1)
+                per_key = jnp.take_along_axis(
+                    order_l, key[:, None, None], axis=1
+                )[:, 0]
+                y_small = jnp.take_along_axis(
+                    per_key, zc[:, None], axis=1
+                )[:, 0]
+                y = jnp.where(z < coder3.N_MAP, y_small, z)
+                x = ctx_ops.residual_unfold(y, pxc, sign, near)
+                err2 = jnp.clip(x - px0, -MAX_PX_INC, MAX_PX_INC)
+
+                # AVP update (s_curr proxy = simple-predictor error)
+                e_acc, b_row = _pixel_update(
+                    x, px_s, feats, stats, e_acc, b_row, j, ab, n
                 )
-                msb = jnp.where(act_r & (b == 1) & (msb == 0), 1, msb)
 
-            # pixel reconstruction
-            zc = jnp.clip(z, 0, coder3.N_MAP - 1)
-            per_key = jnp.take_along_axis(
-                order_l, key[:, None, None], axis=1
-            )[:, 0]
-            y_small = jnp.take_along_axis(per_key, zc[:, None], axis=1)[:, 0]
-            y = jnp.where(z < coder3.N_MAP, y_small, z)
-            x = ctx_ops.residual_unfold(y, pxc, sign, near)
-            err2 = jnp.clip(x - px0, -MAX_PX_INC, MAX_PX_INC)
+                # advance the rotated layout to the next pixel's base
+                # (l_tot mod N_PHASE per pixel — a static concat)
+                if rot:
+                    states = jnp.concatenate(
+                        [states[:, rot:], states[:, :rot]], axis=1
+                    )
+                    ptrs = jnp.concatenate(
+                        [ptrs[:, rot:], ptrs[:, :rot]], axis=1
+                    )
 
-            # AVP update (s_curr proxy = simple-predictor error)
-            e_acc, b_row = _pixel_update(
-                x, px_s, feats, stats, e_acc, b_row, j, ab, n
+                regs = slide_window(regs, x, i, j, prev1, prev2, w)
+                return (
+                    (regs, err2, e_acc, b_row, states, ptrs),
+                    (x, y, z, qu, qv, qw, key, adr, px0),
+                )
+
+            (regs, err, e_acc, b_row, states, ptrs), cols = jax.lax.scan(
+                col_body,
+                (regs, err, e_acc, b_row, states, ptrs),
+                j0 + jnp.arange(ws, dtype=jnp.int32),
             )
-
-            row_px = row_px.at[:, j].set(x)
-            regs = slide_window(regs, x, i, j, prev1, prev2, w)
+            x_c, y_c, z_c, qu_c, qv_c, qw_c, key_c, adr_c, px0_c = [
+                jnp.moveaxis(v, 0, 1) for v in cols
+            ]
+            # counter replay for this segment, exactly as the encoder's
+            # _row_code (z was decoded, so no mapper lookup is needed)
+            unary, refine, row_end, k_end, escaped = _code_events(
+                z_c, qu_c, qv_c, k_step, l_u
+            )
+            utab, rtab = coder3.row_updates(
+                utab, rtab, qw_c, unary, refine, row_end, k_end, k_step,
+                l_u,
+            )
             return (
-                (regs, err2, row_px, e_acc, b_row, states, ptrs),
-                (x, y, qu, qv, qw, key, adr, px0),
+                (regs, err, e_acc, b_row, utab, rtab, states, ptrs),
+                (x_c, y_c, key_c, adr_c, px0_c),
             )
 
-        row0 = jnp.zeros((lanes, w), jnp.int32)
         e0 = jnp.zeros((m, lanes), jnp.int64)
-        (_, _, row_px, _, b_row, states, ptrs), cols = jax.lax.scan(
-            col_body,
-            (regs0, jnp.zeros((lanes,), jnp.int32), row0, e0, b_row,
-             states, ptrs),
-            jnp.arange(w, dtype=jnp.int32),
+        scarry0 = (
+            regs0, jnp.zeros((lanes,), jnp.int32), e0, b_row, utab, rtab,
+            states, ptrs,
         )
-        x_r, y_r, qu_r, qv_r, qw_r, key_r, adr_r, px0_r = [
-            jnp.moveaxis(v, 0, 1) for v in cols
+        (_, _, _, b_row, utab, rtab, states, ptrs), segs = jax.lax.scan(
+            seg_scan, scarry0, jnp.arange(n_seg, dtype=jnp.int32) * ws
+        )
+        x_r, y_r, key_r, adr_r, px0_r = [
+            jnp.moveaxis(v, 0, 1).reshape(lanes, w) for v in segs
         ]
-        # replay the adaptive-state transitions exactly as the encoder
-        _, (utab, rtab, mhist) = _row_code(
-            utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
-            k_step, tune,
+        # mapper replay (row-frozen) exactly as the encoder
+        mhist = coder3.mapper_updates(
+            mhist, img_of_lane, key_r, y_r, tune.map_bump, tune.map_halve
         )
         if adaptive:
             idx = img_of_lane[:, None] * Q_N_CONTEXT + adr_r
@@ -802,14 +973,28 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 bsums, bcnts, idx, x_r - px0_r, tune.bias_cap
             )
         return (
-            (row_px, prev1, b_row, utab, rtab, mhist, states, ptrs,
+            (x_r, prev1, b_row, utab, rtab, mhist, states, ptrs,
              bsums, bcnts),
-            row_px,
+            x_r,
         )
 
+    # physical -> rotated entry conversion (once per program; i0 is
+    # traced so this is the one dynamic gather of the whole decode)
+    base0 = (i0 * w * l_tot) % N_PHASE
+    vidx = (base0 + jnp.arange(N_PHASE, dtype=jnp.int32)) % N_PHASE
+    cl = list(carry)
+    cl[6] = jnp.take(cl[6], vidx, axis=1)
+    cl[7] = jnp.take(cl[7], vidx, axis=1)
     carry, out_rows = jax.lax.scan(
-        row_body, carry, i0 + jnp.arange(rows, dtype=jnp.int32)
+        row_body, tuple(cl), i0 + jnp.arange(rows, dtype=jnp.int32)
     )
+    # rotated -> physical exit conversion
+    base_end = ((i0 + rows) * w * l_tot) % N_PHASE
+    pidx = (jnp.arange(N_PHASE, dtype=jnp.int32) - base_end) % N_PHASE
+    cl = list(carry)
+    cl[6] = jnp.take(cl[6], pidx, axis=1)
+    cl[7] = jnp.take(cl[7], pidx, axis=1)
+    carry = tuple(cl)
     px = jnp.moveaxis(out_rows, 0, 1)  # (lanes, rows, w)
     if w % 4 == 0:
         # 4 px per int32 for the fetch (the tunnel moves uint8 at half the
@@ -870,6 +1055,11 @@ def _parse(stream: bytes):
         raise ValueError(f"not a profile-3 container: profile {hdr.profile}")
     check_size(hdr.height, hdr.width)
     pos = NbtcHeader.SIZE
+    if hdr.tile_w & 4:  # serialized replay-contract constants (new format)
+        tune = Tune.from_bytes(stream[pos : pos + Tune.SIZE])
+        pos += Tune.SIZE
+    else:  # legacy: version bit selects a fixed named set
+        tune = TUNE_V2 if hdr.tile_w & 2 else TUNE_V1
     if hdr.bias_len:  # legacy transmitted static-bias table
         bias = np.frombuffer(
             zlib.decompress(stream[pos : pos + hdr.bias_len]), dtype=np.int16
@@ -884,7 +1074,6 @@ def _parse(stream: bytes):
     pos += 4 * n_states
     payload = np.frombuffer(stream, dtype=np.uint16, offset=pos)
     n_feat = (hdr.tile_w >> 4) or 6  # pre-AVP_N containers used 6 features
-    tune = TUNE_V2 if hdr.tile_w & 2 else TUNE_V1
     geom = (hdr.height, hdr.width, hdr.n_tiles, hdr.tile_h,
             bool(hdr.tile_w & 1), n_feat, hdr.near, tune)
     return geom, bias, lengths, payload

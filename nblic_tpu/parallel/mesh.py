@@ -388,7 +388,7 @@ def _p3_dispatch_sharded(imgs, th: int, near: int, sharding):
             lens_d, flats_d = strips._code_batch_jit(
                 *planes, strips.TUNE
             )
-    return (lens_d, flats_d, dims, tflags, s, th, near)
+    return (lens_d, flats_d, dims, tflags, s, th, near, strips.TUNE)
 
 
 def p3_decode_batch_mesh(streams: list[bytes], mesh: Mesh) -> list:

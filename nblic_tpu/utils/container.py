@@ -113,10 +113,16 @@ class NbtcHeader:
     fields — the geometry is strips, not tiles:
       tile_h  = strip height,
       tile_w  = bit 0: image stored transposed | bit 1: tuned replay
-                contract (models/strips.TUNE_V2 adaptation constants +
-                13-layer unary budget; 0 = the original TUNE_V1 set) |
-                bits 4+: AVP feature count (0 means a legacy 6-feature
-                container),
+                contract (legacy version bit: models/strips.TUNE_V2
+                adaptation constants + 13-layer unary budget; 0 = the
+                original TUNE_V1 set) | bit 2: a 12-byte serialized Tune
+                block (6 little-endian u16: bias_cap, map_bump, map_halve,
+                n_unary, bias_shrink, n_seg — models/strips.Tune)
+                immediately
+                follows the header, making the replay contract fully
+                self-describing (decode never consults process state; all
+                new containers set this) | bits 4+: AVP feature count
+                (0 means a legacy 6-feature container),
       n_tiles = strip count,
       bias_len= 0 for the row-adaptive replayed bias (nothing transmitted);
                 nonzero marks a legacy container with a zlib'd static table,

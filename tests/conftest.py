@@ -22,11 +22,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # tests are hermetic (the bench runs on the real chip separately).
 import jax
 
-# persistent compile cache: the profile-3 engine programs are large; cache
-# them across test runs (same cache the bench uses)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persistent compile cache: the profile-3 engine programs are large; cache
+# them across test runs.  The tests get their OWN cache dir (NOT the
+# bench/tunnel's /tmp/jax_cache — that one accumulates foreign-machine
+# XLA:CPU AOT entries from the remote-compile tunnel) and the DEFAULT
+# serialization thresholds: force-persisting every executable
+# (min_entry_size_bytes=-1 / min_compile_time_secs=0.5) made JAX serialize
+# the giant p3 near-batch x64 executables mid-suite, which reproducibly
+# died in XLA's executable serialization (SIGSEGV/SIGABRT in
+# put_executable_and_time) on full-suite runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+
+# Belt and suspenders for the same crash: never serialize the monster
+# executables at all.  Executables whose compile took longer than this cap
+# are exactly the huge x64 scan programs whose XLA:CPU serialization is the
+# crash site; everything else still persists normally.
+_PERSIST_COMPILE_TIME_CAP_S = 30.0
+
+from jax._src import compilation_cache as _cc
+
+_orig_put = _cc.put_executable_and_time
+
+
+def _bounded_put(cache_key, module_name, executable, backend, compile_time):
+    if compile_time > _PERSIST_COMPILE_TIME_CAP_S:
+        return
+    return _orig_put(cache_key, module_name, executable, backend, compile_time)
+
+
+# callers reach it as compilation_cache.put_executable_and_time, so
+# rebinding the module attribute is sufficient
+_cc.put_executable_and_time = _bounded_put
 
 _cpu = jax.devices("cpu")
 jax.config.update("jax_default_device", _cpu[0])

@@ -84,7 +84,7 @@ def test_mini_corpus_bpp_ratchet():
     streams = strips.encode_batch(imgs, th=128)
     n_px = sum(im.size for im in imgs)
     bpp = 8.0 * sum(len(s) for s in streams) / n_px
-    assert bpp < 4.40, f"profile-3 mini-corpus bpp regressed: {bpp:.4f}"
+    assert bpp < 4.20, f"profile-3 mini-corpus bpp regressed: {bpp:.4f}"
     for im, d in zip(imgs, strips.decode_batch(streams)):
         assert np.array_equal(d, im)
 
@@ -140,6 +140,42 @@ def test_legacy_tune_v1_container_roundtrip(kodak_crop, monkeypatch):
     np.testing.assert_array_equal(strips.decode(s_v2), kodak_crop)
     # (no size assertion: the tuned contract wins on full images —
     # 4.090 vs 4.100 bpp on Kodak-24 — not necessarily on tiny crops)
+
+
+def test_tune_constants_ride_the_container(kodak_crop, tmp_path):
+    """The replay-contract constants are serialized in the container
+    (tile_w bit 2), so a container encoded in a process with sweep env
+    overrides decodes exactly in THIS clean process — decode never
+    consults env or module state."""
+    import os
+    import subprocess
+    import sys
+
+    from nblic_tpu.utils.container import NbtcHeader
+
+    enc_path = tmp_path / "override.nbtc"
+    code = (
+        "from nblic_tpu.models import strips\n"
+        "from nblic_tpu.utils import imageio\n"
+        "img = imageio.load_image('/root/reference/img_kodak/05.bmp')"
+        "[:64, :96]\n"
+        f"open({str(enc_path)!r}, 'wb').write(strips.encode(img, th=64))\n"
+        "assert strips.TUNE.bias_cap == 64 and strips.TUNE.map_bump == 4\n"
+    )
+    env = dict(
+        os.environ,
+        NBLIC_P3_BIAS_CAP="64",
+        NBLIC_P3_MAP_BUMP="4",
+        JAX_PLATFORMS="cpu",
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], check=True, env=env, timeout=600
+    )
+    stream = enc_path.read_bytes()
+    assert NbtcHeader.from_bytes(stream).tile_w & 4
+    assert strips.TUNE.bias_cap != 64  # this process really is clean
+    out = strips.decode(stream)
+    np.testing.assert_array_equal(out, kodak_crop)
 
 
 def test_roundtrip_fusion_regression():
