@@ -149,7 +149,11 @@ def main() -> int:
             return tiled.encode_corpus(imgs)
 
         def decode_all(streams):
-            return tiled.decode_batch(streams)
+            # pipelined groups: group k+1's stream upload overlaps group
+            # k's compute + pixel fetch (the tunnel is the bottleneck;
+            # a single 24-image program serializes upload->run->fetch)
+            gs = [streams[i : i + 8] for i in range(0, len(streams), 8)]
+            return [im for g in tiled.decode_batches(gs) for im in g]
 
         streams = encode_all()  # warmup (compile)
         decs = decode_all(streams)
@@ -248,7 +252,7 @@ def main() -> int:
     # carried data dependence while every perturbed value stays in the
     # coder's valid domain.
     group6 = [
-        np.ascontiguousarray(im.T) if im.shape[0] > im.shape[1] else im
+        np.ascontiguousarray(im.T) if im.shape[0] < im.shape[1] else im
         for im in imgs[:6]
     ]
 

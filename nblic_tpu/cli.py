@@ -13,8 +13,22 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# Honor JAX_PLATFORMS=cpu on platforms where an accelerator plugin
+# registers itself as the default regardless (the axon TPU tunnel does):
+# pin the default device to CPU before any compute so CPU-requested CLI
+# runs are hermetic (tests run the CLI this way; real-chip use leaves
+# JAX_PLATFORMS unset).
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+
+    try:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    except Exception:
+        pass
 
 from . import api
 from .utils import imageio

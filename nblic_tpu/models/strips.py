@@ -8,7 +8,7 @@ the encoder is parallel end to end:
 - Full-width strips (default 512 rows — whole-image on Kodak).  Measured
   strip-boundary cost is ~0.008 bpp at th=128 vs 0.045 for 64x64 tiles,
   and taller strips keep winning (th sweep in TH_DEFAULT's comment);
-  portrait images are transposed to landscape (flagged) so corpora share
+  landscape images are transposed to portrait (flagged) so corpora share
   one geometry.
 - Modeling: parallel AVP (ops/pavp.py); whole-plane vector math throughout.
 - Coding: layered Zcodec walk (ops/zcodec3.py) with row-frozen counter,
@@ -57,9 +57,12 @@ from ..utils.container import NbtcHeader, check_size
 
 # default strip height: taller strips = fewer adaptive-state cold starts
 # (th sweep on Kodak-24: 64=4.160 / 128=4.128 / 256=4.111 / 512=4.100 bpp);
-# 512 makes each Kodak image one strip, so decode parallelism comes from
-# the image batch x N_PHASE rANS lanes
-TH_DEFAULT = 512
+# round 4: images are normalized to PORTRAIT (the long axis becomes rows:
+# more sequential adaptation steps per strip and narrower rows make the
+# per-segment counter updates finer-grained — measured -0.002 bpp vs
+# landscape at the same tune), so the default covers a whole 768-row
+# Kodak image as one strip
+TH_DEFAULT = 768
 # feature count of the parallel AVP (default = reference -e3 class,
 # N_LIST[3], NBLIC.c:88; up to 12 with the TPU-native extra taps, which
 # measured WORSE on Kodak — 4.0910 vs 4.0898 bpp — and stay off).
@@ -97,10 +100,11 @@ class Tune(NamedTuple):
     bias_shrink: int  # pseudo-counts pulling sparse-context bias to 0
     n_seg: int = 1    # column segments per row for counter adaptation
                       # (the unary/refine counters update n_seg times per
-                      # row — sub-row granularity; mapper + bias stay
-                      # row-frozen, measured neutral at sub-row)
+                      # row — sub-row granularity)
+    seg_bias: int = 0  # context-bias moments also update per segment
+    seg_map: int = 0   # AutoMapper ranks/history also update per segment
 
-    SIZE = 12  # serialized: 6 little-endian u16
+    SIZE = 16  # serialized: 8 little-endian u16
 
     def to_bytes(self) -> bytes:
         return np.asarray(self, dtype="<u2").tobytes()
@@ -114,17 +118,23 @@ class Tune(NamedTuple):
         )
 
 
-TUNE_V1 = Tune(2048, 4, 4096, 9, 0, 1)
-TUNE_V2 = Tune(256, 2, 512, 13, 16, 1)
+TUNE_V1 = Tune(2048, 4, 4096, 9, 0, 1, 0, 0)
+TUNE_V2 = Tune(256, 2, 512, 13, 16, 1, 0, 0)
+# round-4 flagship: sub-row adaptation of counters+bias+mapper at 32
+# column segments per row, deeper bias shrink, faster mapper decay (the
+# decay optimum moves with the granularity; sweep: docs/p3_kodak24.txt)
+TUNE_V3 = Tune(256, 2, 256, 13, 48, 32, 1, 1)
 # what new containers are encoded with (env overrides are sweep-only; the
 # chosen constants are serialized into the container either way)
 TUNE = Tune(
-    int(_os.environ.get("NBLIC_P3_BIAS_CAP", TUNE_V2.bias_cap)),
-    int(_os.environ.get("NBLIC_P3_MAP_BUMP", TUNE_V2.map_bump)),
-    int(_os.environ.get("NBLIC_P3_MAP_HALVE", TUNE_V2.map_halve)),
-    int(_os.environ.get("NBLIC_P3_N_UNARY", TUNE_V2.n_unary)),
-    int(_os.environ.get("NBLIC_P3_BIAS_SHRINK", TUNE_V2.bias_shrink)),
-    int(_os.environ.get("NBLIC_P3_N_SEG", TUNE_V2.n_seg)),
+    int(_os.environ.get("NBLIC_P3_BIAS_CAP", TUNE_V3.bias_cap)),
+    int(_os.environ.get("NBLIC_P3_MAP_BUMP", TUNE_V3.map_bump)),
+    int(_os.environ.get("NBLIC_P3_MAP_HALVE", TUNE_V3.map_halve)),
+    int(_os.environ.get("NBLIC_P3_N_UNARY", TUNE_V3.n_unary)),
+    int(_os.environ.get("NBLIC_P3_BIAS_SHRINK", TUNE_V3.bias_shrink)),
+    int(_os.environ.get("NBLIC_P3_N_SEG", TUNE_V3.n_seg)),
+    int(_os.environ.get("NBLIC_P3_SEG_BIAS", TUNE_V3.seg_bias)),
+    int(_os.environ.get("NBLIC_P3_SEG_MAP", TUNE_V3.seg_map)),
 )
 
 
@@ -407,30 +417,101 @@ def _bias_update(bsums, bcnts, idx, err, cap: int):
 
 
 def _code_impl(x, px0, adr, qu, qv, qw, tune: Tune = TUNE):
-    """Row-scan coding + fold + pack for one image's modeled planes."""
+    """Row-scan coding + fold + pack for one image's modeled planes.
+
+    Adaptive-state granularity is the replay contract: the unary/refine
+    counters update per W/n_seg-column segment; with ``tune.seg_bias`` /
+    ``tune.seg_map`` the context-bias moments and the AutoMapper move to
+    the same segment granularity (the reference adapts all three per
+    symbol, NBLIC.c:595-679; the measured freeze costs are superadditive,
+    docs/p3_kodak24.txt round-4)."""
     s, th, w = x.shape
     n_class = zcodec3.layer_consts(K_STEP, tune.n_unary).n_class
     l_tot = tune.n_unary + L_R
     img_of_lane = jnp.zeros((s,), jnp.int32)
+    n_seg = _eff_seg(tune.n_seg, w)
+    ws = w // n_seg
+    seg_bias = bool(tune.seg_bias) and n_seg > 1
+    seg_map = bool(tune.seg_map) and n_seg > 1
 
     def row_body(carry, inputs):
         utab, rtab, mhist, bsums, bcnts = carry
-        x_r, px0_r, adr_r, qu_r, qv_r, qw_r = inputs
-        btab = ctx_ops.quantize_bias(bsums, bcnts, tune.bias_shrink)
-        bval = ctx_ops.pair_gather(btab, adr_r)
-        sign = (bval >> (ctx_ops.BIAS_FRAC_BITS - 1)) & 1
-        pxc = jnp.clip(
-            px0_r + (bval >> ctx_ops.BIAS_FRAC_BITS) + sign, 0, MAX_VAL
-        )
-        y_r = ctx_ops.residual_fold(x_r, pxc, sign, 0)
-        key_r = pxc * 2 + sign
-        slots, (utab, rtab, mhist) = _row_code(
-            utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
-            K_STEP, tune,
-        )
-        bsums, bcnts = _bias_update(
-            bsums, bcnts, adr_r, x_r - px0_r, tune.bias_cap
-        )
+
+        if not seg_bias:
+            btab_row = ctx_ops.quantize_bias(
+                bsums, bcnts, tune.bias_shrink
+            )
+        if not seg_map:
+            ranks_row, _ = coder3.mapper_ranks(mhist)
+
+        def seg_body(c2, seg_in):
+            utab, rtab, mhist, bsums, bcnts = c2
+            x_s, px0_s, adr_s, qu_s, qv_s, qw_s = seg_in
+            btab = (
+                ctx_ops.quantize_bias(bsums, bcnts, tune.bias_shrink)
+                if seg_bias else btab_row
+            )
+            bval = ctx_ops.pair_gather(btab, adr_s)
+            sign = (bval >> (ctx_ops.BIAS_FRAC_BITS - 1)) & 1
+            pxc = jnp.clip(
+                px0_s + (bval >> ctx_ops.BIAS_FRAC_BITS) + sign, 0, MAX_VAL
+            )
+            y_s = ctx_ops.residual_fold(x_s, pxc, sign, 0)
+            key_s = pxc * 2 + sign
+            ranks = (
+                coder3.mapper_ranks(mhist)[0] if seg_map else ranks_row
+            )
+            z = jnp.where(
+                y_s < coder3.N_MAP,
+                coder3.mapper_lookup(ranks, img_of_lane, key_s, y_s),
+                y_s,
+            )
+            unary, refine, row_end, k_end, escaped = _code_events(
+                z, qu_s, qv_s, K_STEP, tune.n_unary
+            )
+            slots, (utab, rtab) = _seg_slots_update(
+                utab, rtab, z, qw_s, unary, refine, row_end, k_end,
+                escaped, K_STEP, tune,
+            )
+            if seg_map:
+                mhist = coder3.mapper_updates(
+                    mhist, img_of_lane, key_s, y_s, tune.map_bump,
+                    tune.map_halve,
+                )
+            if seg_bias:
+                bsums, bcnts = _bias_update(
+                    bsums, bcnts, adr_s, x_s - px0_s, tune.bias_cap
+                )
+            return (utab, rtab, mhist, bsums, bcnts), (slots, y_s, key_s)
+
+        if n_seg == 1:
+            carry2, (slots, y_r, key_r) = seg_body(carry, inputs)
+            utab, rtab, mhist, bsums, bcnts = carry2
+        else:
+            def segview(a):  # (S, W) -> (n_seg, S, ws)
+                return a.reshape(a.shape[0], n_seg, ws).transpose(1, 0, 2)
+
+            carry2, (slots_s, y_ss, key_ss) = jax.lax.scan(
+                seg_body, carry, tuple(segview(v) for v in inputs)
+            )
+            utab, rtab, mhist, bsums, bcnts = carry2
+            # (n_seg, Ltot, S, ws) -> (Ltot, S, W)
+            slots = tuple(
+                a.transpose(1, 2, 0, 3).reshape(a.shape[1], s, w)
+                for a in slots_s
+            )
+            y_r = y_ss.transpose(1, 0, 2).reshape(s, w)
+            key_r = key_ss.transpose(1, 0, 2).reshape(s, w)
+        if not seg_map:
+            mhist = coder3.mapper_updates(
+                mhist, img_of_lane, key_r, y_r, tune.map_bump,
+                tune.map_halve,
+            )
+        if not seg_bias:
+            x_r, px0_r, adr_r = inputs[0], inputs[1], inputs[2]
+            bsums, bcnts = _bias_update(
+                bsums, bcnts, adr_r, x_r - px0_r, tune.bias_cap
+            )
         return (utab, rtab, mhist, bsums, bcnts), slots
 
     init = (
@@ -630,7 +711,9 @@ def _encode_dispatch(imgs, th: int, near: int = 0,
         raise ValueError(f"near must be in [0, 255], got {near}")
     imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
     dims = [im.shape for im in imgs]
-    tflags = [h > w for h, w in dims]
+    # normalize to PORTRAIT: the long axis scans as rows (finer adaptive
+    # granularity; docs/p3_kodak24.txt round-4 orientation sweep)
+    tflags = [h < w for h, w in dims]
     imgs = [
         np.ascontiguousarray(im.T) if t else im
         for im, t in zip(imgs, tflags)
@@ -653,22 +736,25 @@ def _encode_dispatch(imgs, th: int, near: int = 0,
     th = min(th, -(-h // N_PHASE) * N_PHASE)
     strips = np.stack([_to_strips(im, th) for im in imgs])
     s = strips.shape[1]
+    # the near feedback scan keeps bias/mapper row-frozen (its per-pixel
+    # walk reads the tables the whole row); the recorded tune says so
+    tune = TUNE._replace(seg_bias=0, seg_map=0) if near else TUNE
     with jax.enable_x64():
         if near:
             xs = jnp.asarray(strips)
             if len(imgs) == 1:
-                len_d, flat_d = _code_near_jit(xs[0], near, AVP_N, TUNE)
+                len_d, flat_d = _code_near_jit(xs[0], near, AVP_N, tune)
                 lens_d, flats_d = len_d[None], flat_d[None]
             else:
-                lens_d, flats_d = _code_near_batch_jit(xs, near, AVP_N, TUNE)
+                lens_d, flats_d = _code_near_batch_jit(xs, near, AVP_N, tune)
         elif len(imgs) == 1:
             planes = _model_jit(jnp.asarray(strips[0]), AVP_N, row_frozen)
-            len_d, flat_d = _code_jit(*planes, TUNE)
+            len_d, flat_d = _code_jit(*planes, tune)
             lens_d, flats_d = len_d[None], flat_d[None]
         else:
             planes = _model_batch_jit(jnp.asarray(strips), AVP_N, row_frozen)
-            lens_d, flats_d = _code_batch_jit(*planes, TUNE)
-    return (lens_d, flats_d, dims, tflags, s, th, near, TUNE)
+            lens_d, flats_d = _code_batch_jit(*planes, tune)
+    return (lens_d, flats_d, dims, tflags, s, th, near, tune)
 
 
 def _encode_finalize(work) -> list[bytes]:
@@ -696,9 +782,9 @@ def _encode_finalize(work) -> list[bytes]:
 def encode_batch(imgs, th: int = TH_DEFAULT, near: int = 0) -> list[bytes]:
     """Encode images in one device program (lossless or near-lossless).
 
-    Portrait images are transposed to landscape first (per-image header
-    flag), so a mixed-orientation corpus batches as long as the normalized
-    shapes agree."""
+    Landscape images are transposed to portrait first (per-image header
+    flag; the long axis scans as rows), so a mixed-orientation corpus
+    batches as long as the normalized shapes agree."""
     return _encode_finalize(_encode_dispatch(imgs, th, near))
 
 
@@ -770,6 +856,8 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
     ab = pavp._ab_vec(m)
     n_seg = _eff_seg(tune.n_seg, w)
     ws = w // n_seg
+    seg_bias = bool(tune.seg_bias) and n_seg > 1 and adaptive
+    seg_map = bool(tune.seg_map) and n_seg > 1
     wmax = smat.shape[-1]
     words_flat = smat.reshape(lanes, N_PHASE * wmax)
 
@@ -787,16 +875,18 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
     def row_body(carry, i):
         (prev1, prev2, b_row, utab, rtab, mhist, states, ptrs,
          bsums, bcnts) = carry
-        btab_b = (
-            ctx_ops.quantize_bias(bsums, bcnts, tune.bias_shrink)
-            if adaptive else bias_b
-        )
+        if not seg_bias:
+            btab_row = (
+                ctx_ops.quantize_bias(bsums, bcnts, tune.bias_shrink)
+                if adaptive else bias_b
+            )
         # AVPprecalcuate: F from the previous row's B state
         f_row = pavp.f_chain(jnp.moveaxis(b_row, 2, 0))  # (W, m, lanes)
         f_row = jnp.moveaxis(f_row, 0, 2)  # (m, lanes, W)
 
-        _, order = coder3.mapper_ranks(mhist)
-        order_l = jnp.take(order, img_of_lane, axis=0)  # (lanes, 512, N_MAP)
+        if not seg_map:
+            _, order = coder3.mapper_ranks(mhist)
+            order_row = jnp.take(order, img_of_lane, axis=0)
 
         regs0 = row_start_window(i, prev1, prev2, w)
 
@@ -826,12 +916,23 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
             return jnp.where(active, b, 0), states, ptrs
 
         def seg_scan(scarry, j0):
-            """Decode one ws-column segment with counters frozen at its
-            start, then fold the segment's events into them (the encoder's
-            _row_code does the identical per-segment transition)."""
-            regs, err, e_acc, b_row, utab, rtab, states, ptrs = scarry
+            """Decode one ws-column segment with the adaptive tables
+            frozen at its start, then fold the segment's events into them
+            (the encoder's _code_impl does the identical per-segment
+            transition)."""
+            (regs, err, e_acc, b_row, utab, rtab, mhist, bsums, bcnts,
+             states, ptrs) = scarry
             uprob = coder3.prob_table(utab)
             rprob = coder3.prob_table(rtab)
+            btab_b = (
+                ctx_ops.quantize_bias(bsums, bcnts, tune.bias_shrink)
+                if seg_bias else btab_row
+            )
+            if seg_map:
+                _, order = coder3.mapper_ranks(mhist)
+                order_l = jnp.take(order, img_of_lane, axis=0)
+            else:
+                order_l = order_row
 
             def col_body(ccarry, j):
                 regs, err, e_acc, b_row, states, ptrs = ccarry
@@ -938,8 +1039,8 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
             x_c, y_c, z_c, qu_c, qv_c, qw_c, key_c, adr_c, px0_c = [
                 jnp.moveaxis(v, 0, 1) for v in cols
             ]
-            # counter replay for this segment, exactly as the encoder's
-            # _row_code (z was decoded, so no mapper lookup is needed)
+            # state replay for this segment, exactly as the encoder's
+            # _code_impl (z was decoded, so no mapper lookup is needed)
             unary, refine, row_end, k_end, escaped = _code_events(
                 z_c, qu_c, qv_c, k_step, l_u
             )
@@ -947,27 +1048,44 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 utab, rtab, qw_c, unary, refine, row_end, k_end, k_step,
                 l_u,
             )
+            if seg_map:
+                mhist = coder3.mapper_updates(
+                    mhist, img_of_lane, key_c, y_c, tune.map_bump,
+                    tune.map_halve,
+                )
+            if seg_bias:
+                idx = img_of_lane[:, None] * Q_N_CONTEXT + adr_c
+                bsums, bcnts = _bias_update(
+                    bsums, bcnts, idx, x_c - px0_c, tune.bias_cap
+                )
             return (
-                (regs, err, e_acc, b_row, utab, rtab, states, ptrs),
+                (regs, err, e_acc, b_row, utab, rtab, mhist, bsums,
+                 bcnts, states, ptrs),
                 (x_c, y_c, key_c, adr_c, px0_c),
             )
 
         e0 = jnp.zeros((m, lanes), jnp.int64)
         scarry0 = (
             regs0, jnp.zeros((lanes,), jnp.int32), e0, b_row, utab, rtab,
-            states, ptrs,
+            mhist, bsums, bcnts, states, ptrs,
         )
-        (_, _, _, b_row, utab, rtab, states, ptrs), segs = jax.lax.scan(
+        (
+            (_, _, _, b_row, utab, rtab, mhist, bsums, bcnts, states,
+             ptrs),
+            segs,
+        ) = jax.lax.scan(
             seg_scan, scarry0, jnp.arange(n_seg, dtype=jnp.int32) * ws
         )
         x_r, y_r, key_r, adr_r, px0_r = [
             jnp.moveaxis(v, 0, 1).reshape(lanes, w) for v in segs
         ]
-        # mapper replay (row-frozen) exactly as the encoder
-        mhist = coder3.mapper_updates(
-            mhist, img_of_lane, key_r, y_r, tune.map_bump, tune.map_halve
-        )
-        if adaptive:
+        if not seg_map:
+            # mapper replay (row-frozen) exactly as the encoder
+            mhist = coder3.mapper_updates(
+                mhist, img_of_lane, key_r, y_r, tune.map_bump,
+                tune.map_halve,
+            )
+        if adaptive and not seg_bias:
             idx = img_of_lane[:, None] * Q_N_CONTEXT + adr_r
             bsums, bcnts = _bias_update(
                 bsums, bcnts, idx, x_r - px0_r, tune.bias_cap
@@ -1095,7 +1213,8 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
         return (s, th, ww, n_feat, near, tune)
 
     # images of either orientation share the encoded-plane geometry (the
-    # encoder transposes portraits); only the output crop/transpose differs
+    # encoder normalizes orientation); only the output crop/transpose
+    # differs
     adaptive = parsed[0][1].size == 0
     if any(
         plane_geom(p[0]) != plane_geom(parsed[0][0])

@@ -365,7 +365,7 @@ def _p3_dispatch_sharded(imgs, th: int, near: int, sharding):
 
     imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
     dims = [im.shape for im in imgs]
-    tflags = [h > w for h, w in dims]
+    tflags = [h < w for h, w in dims]  # portrait normalization (round 4)
     imgs = [
         np.ascontiguousarray(im.T) if t else im
         for im, t in zip(imgs, tflags)
@@ -378,17 +378,21 @@ def _p3_dispatch_sharded(imgs, th: int, near: int, sharding):
     tile_stack = np.stack([strips._to_strips(im, th) for im in imgs])
     s = tile_stack.shape[1]
     xs = jax.device_put(jnp.asarray(tile_stack), sharding)
+    tune = (
+        strips.TUNE._replace(seg_bias=0, seg_map=0)
+        if near else strips.TUNE
+    )
     with jax.enable_x64():
         if near:
             lens_d, flats_d = strips._code_near_batch_jit(
-                xs, near, strips.AVP_N, strips.TUNE
+                xs, near, strips.AVP_N, tune
             )
         else:
             planes = strips._model_batch_jit(xs, strips.AVP_N, False)
             lens_d, flats_d = strips._code_batch_jit(
-                *planes, strips.TUNE
+                *planes, tune
             )
-    return (lens_d, flats_d, dims, tflags, s, th, near, strips.TUNE)
+    return (lens_d, flats_d, dims, tflags, s, th, near, tune)
 
 
 def p3_decode_batch_mesh(streams: list[bytes], mesh: Mesh) -> list:
@@ -409,7 +413,7 @@ def p3_decode_batch_mesh(streams: list[bytes], mesh: Mesh) -> list:
 
     def plane_geom(g):
         h_i, w_i, s_i, th_i, t_i, nf_i, nr_i, rm_i = g
-        # encoded planes are landscape (the encoder transposes portraits)
+        # encoded planes are orientation-normalized by the encoder
         return (s_i, th_i, (h_i if t_i else w_i), nf_i, nr_i, rm_i)
 
     if any(plane_geom(p[0]) != plane_geom(geom0) or p[1].size

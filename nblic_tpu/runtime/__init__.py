@@ -26,14 +26,29 @@ class RuntimeUnavailable(RuntimeError):
 
 
 def _build() -> None:
-    proc = subprocess.run(
-        ["make", "-s", f"OUT={_LIB_PATH}"],
-        cwd=_SRC_DIR,
-        capture_output=True,
-        text=True,
-    )
-    if proc.returncode != 0:
-        raise RuntimeUnavailable(f"nbrt build failed:\n{proc.stdout}\n{proc.stderr}")
+    # inter-process flock: concurrent test workers may import the package
+    # simultaneously; exactly one runs make, the rest wait then see the
+    # fresh .so (the staleness check is repeated under the lock)
+    import fcntl
+
+    lock_path = _LIB_PATH + ".lock"
+    with open(lock_path, "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            if not _sources_newer_than_lib():
+                return
+            proc = subprocess.run(
+                ["make", "-s", f"OUT={_LIB_PATH}"],
+                cwd=_SRC_DIR,
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode != 0:
+                raise RuntimeUnavailable(
+                    f"nbrt build failed:\n{proc.stdout}\n{proc.stderr}"
+                )
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
 
 
 def _sources_newer_than_lib() -> bool:

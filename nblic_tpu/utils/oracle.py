@@ -31,13 +31,27 @@ def _ensure_built() -> bool:
     if not os.path.isdir(REFERENCE_SRC):
         return False
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    import fcntl
     import glob
 
-    srcs = sorted(glob.glob(os.path.join(REFERENCE_SRC, "*.c")))
-    proc = subprocess.run(
-        ["gcc", "-O3", "-o", REFERENCE_BIN, *srcs], capture_output=True, text=True
-    )
-    return proc.returncode == 0 and os.access(REFERENCE_BIN, os.X_OK)
+    # inter-process flock: concurrent test workers race to build; one
+    # compiles, the rest wait and re-check
+    with open(os.path.join(_BUILD_DIR, ".lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            if os.access(REFERENCE_BIN, os.X_OK):
+                return True
+            srcs = sorted(glob.glob(os.path.join(REFERENCE_SRC, "*.c")))
+            tmp = REFERENCE_BIN + ".tmp"
+            proc = subprocess.run(
+                ["gcc", "-O3", "-o", tmp, *srcs],
+                capture_output=True, text=True,
+            )
+            if proc.returncode == 0 and os.access(tmp, os.X_OK):
+                os.replace(tmp, REFERENCE_BIN)
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+    return os.access(REFERENCE_BIN, os.X_OK)
 
 
 def available() -> bool:

@@ -75,8 +75,11 @@ def main() -> int:
 
     # ---- 3: profile-3 data-parallel encode, images owned per process
     mesh2 = pmesh.make_mesh2(2 * n_procs, 1, devices=cpus)
+    # PORTRAIT shapes: strips.encode normalizes to portrait (round 4),
+    # so portrait inputs keep the manual plane path and the public API
+    # bit-identical
     imgs = [
-        rng.integers(0, 256, size=(32, 64), dtype=np.uint8)
+        rng.integers(0, 256, size=(64, 32), dtype=np.uint8)
         for _ in range(2 * n_procs)
     ]
     th = 16
@@ -111,7 +114,7 @@ def main() -> int:
             gidx = li.index[0].start + b
             my_streams.append(
                 (gidx,
-                 strips._container(lens, u16[:n_words], 32, 64,
+                 strips._container(lens, u16[:n_words], 64, 32,
                                    stack.shape[1], th, False))
             )
     assert [g for g, _ in my_streams] == [2 * pid, 2 * pid + 1], my_streams
