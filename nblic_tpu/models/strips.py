@@ -539,28 +539,36 @@ def _code_impl(x, px0, adr, qu, qv, qw, tune: Tune = TUNE):
     return lengths, flat32
 
 
-def _code_near_impl(x, near: int, n_feat: int, tune: Tune = TUNE):
-    """Near-lossless feedback encode of one image's strips (s, th, w).
+def _near_carry_init(s: int, w: int, near: int, n_feat: int, tune: Tune):
+    """Initial feedback-scan carry for the near encoder (window rows, AVP
+    chains, coder tables, bias moments)."""
+    m = pavp.get_m(n_feat)
+    lc = zcodec3.layer_consts(_k_step(near), tune.n_unary)
+    return (
+        jnp.zeros((s, w), jnp.int32),
+        jnp.zeros((s, w), jnp.int32),
+        jnp.zeros((m, s, w), jnp.int64),
+        coder3.init_unary(s, lc.n_class),
+        coder3.init_refine(s),
+        coder3.init_mapper(1),
+        jnp.zeros((Q_N_CONTEXT,), jnp.int32),
+        jnp.zeros((Q_N_CONTEXT,), jnp.int32),
+    )
 
-    The reference's near mode reconstructs each pixel as it encodes and
-    predicts from the reconstruction (NBLIC.c:846-875); the parallel
-    whole-plane modeling of the lossless path is therefore unavailable.
-    This scan is the encoder twin of the decoder's per-pixel walk — the
-    modeling helpers (_pixel_features/_pixel_correct/_pixel_update) are
-    shared, only the bit source differs: here y comes from the true pixel
-    through the near-quantizing fold, there from the rANS streams.  The
-    coding model stays row-frozen (_row_code), so the entropy stage is
-    identical to lossless with k_step = 3 + 2*near (NBLIC.c:769).
-    """
-    s, th, w = x.shape
+
+def _near_rows(carry, x_rows, i0, near: int, n_feat: int, tune: Tune):
+    """Near feedback scan over ``x_rows`` (s, rows, w) starting at
+    absolute row ``i0``; returns (carry', (probs, bins, masks)) with the
+    slot planes stacked (rows, L, s, w).  A tall strip runs this as
+    several bounded device programs with the carry threaded between them
+    (single-program execution time is bounded on the tunnel worker)."""
+    s, rows, w = x_rows.shape
     k_step = _k_step(near)
-    lc = zcodec3.layer_consts(k_step, tune.n_unary)
-    l_tot = tune.n_unary + L_R
     img_of_lane = jnp.zeros((s,), jnp.int32)
     n = n_feat
     m = pavp.get_m(n)
     ab = pavp._ab_vec(m)
-    x = x.astype(jnp.int32)
+    x_rows = x_rows.astype(jnp.int32)
 
     def row_body(carry, inputs):
         prev1, prev2, b_row, utab, rtab, mhist, bsums, bcnts = carry
@@ -610,20 +618,15 @@ def _code_near_impl(x, near: int, n_feat: int, tune: Tune = TUNE):
             slots,
         )
 
-    init = (
-        jnp.zeros((s, w), jnp.int32),
-        jnp.zeros((s, w), jnp.int32),
-        jnp.zeros((m, s, w), jnp.int64),
-        coder3.init_unary(s, lc.n_class),
-        coder3.init_refine(s),
-        coder3.init_mapper(1),
-        jnp.zeros((Q_N_CONTEXT,), jnp.int32),
-        jnp.zeros((Q_N_CONTEXT,), jnp.int32),
+    return jax.lax.scan(
+        row_body, carry,
+        (i0 + jnp.arange(rows, dtype=jnp.int32), jnp.moveaxis(x_rows, 1, 0)),
     )
-    _, (probs, bins, masks) = jax.lax.scan(
-        row_body, init,
-        (jnp.arange(th, dtype=jnp.int32), jnp.moveaxis(x, 1, 0)),
-    )
+
+
+def _near_fold(probs, bins, masks, tune: Tune):
+    """Fold + pack the near slot planes ((TH, L, S, W) stacked)."""
+    th, l_tot, s, w = probs.shape
 
     def fold_layout(a):
         # (TH, L, S, W) -> per-lane slot order (r, c, l) -> phase-major rows
@@ -638,6 +641,25 @@ def _code_near_impl(x, near: int, n_feat: int, tune: Tune = TUNE):
     flat = flat.astype(jnp.int32)
     flat32 = flat[0::2] | (flat[1::2] << 16)
     return lengths, flat32
+
+
+def _code_near_impl(x, near: int, n_feat: int, tune: Tune = TUNE):
+    """Near-lossless feedback encode of one image's strips (s, th, w).
+
+    The reference's near mode reconstructs each pixel as it encodes and
+    predicts from the reconstruction (NBLIC.c:846-875); the parallel
+    whole-plane modeling of the lossless path is therefore unavailable.
+    This scan is the encoder twin of the decoder's per-pixel walk — the
+    modeling helpers (_pixel_features/_pixel_correct/_pixel_update) are
+    shared, only the bit source differs: here y comes from the true pixel
+    through the near-quantizing fold, there from the rANS streams.  The
+    coding model matches lossless with k_step = 3 + 2*near (NBLIC.c:769;
+    bias/mapper stay row-frozen — the recorded tune says so).
+    """
+    s, th, w = x.shape
+    carry = _near_carry_init(s, w, near, n_feat, tune)
+    _, (probs, bins, masks) = _near_rows(carry, x, 0, near, n_feat, tune)
+    return _near_fold(probs, bins, masks, tune)
 
 
 # the encode runs as two device programs (modeling | coding): each compiles
@@ -658,6 +680,34 @@ _code_near_batch_jit = jax.jit(
     jax.vmap(_code_near_impl, in_axes=(0, None, None, None)),
     static_argnums=(1, 2, 3),
 )
+_near_seg_jit = jax.jit(_near_rows, static_argnums=(3, 4, 5))
+_near_fold_jit = jax.jit(_near_fold, static_argnums=(3,))
+
+
+def _encode_near_tall(x_img, near: int, n_feat: int, tune: Tune):
+    """Near encode of one image's tall strips as several bounded device
+    programs (SEG_ROWS-row chunks, carry threaded; the per-pixel feedback
+    scan cannot run as one program past the platform's single-program
+    execution bound) + one fold program.  Taller strips adapt longer:
+    th 128 -> 768 is worth ~1% of the near bitrate on Kodak."""
+    s, th, w = x_img.shape
+    n_prog = max(1, -(-th // SEG_ROWS))
+    while th % n_prog:
+        n_prog += 1
+    rows = th // n_prog
+    carry = _near_carry_init(s, w, near, n_feat, tune)
+    xs = jnp.asarray(x_img)
+    chunks = []
+    for k in range(n_prog):
+        carry, slots = _near_seg_jit(
+            carry, xs[:, k * rows : (k + 1) * rows], jnp.int32(k * rows),
+            near, n_feat, tune,
+        )
+        chunks.append(slots)
+    probs, bins, masks = (
+        jnp.concatenate([c[i] for c in chunks], axis=0) for i in range(3)
+    )
+    return _near_fold_jit(probs, bins, masks, tune)
 
 
 def _to_strips(img: np.ndarray, th: int) -> np.ndarray:
@@ -726,13 +776,6 @@ def _encode_dispatch(imgs, th: int, near: int = 0,
                 "orientation normalization)"
             )
     check_size(h, w)
-    if near:
-        # the near feedback encoder is a per-pixel scan (th*W steps in ONE
-        # device program — the whole-plane modeling split of the lossless
-        # path is unavailable); cap the strip height so the program stays
-        # under the platform's single-program execution bound (the same
-        # limit the segmented decoder works around, _decode_seg)
-        th = min(th, SEG_ROWS)
     th = min(th, -(-h // N_PHASE) * N_PHASE)
     strips = np.stack([_to_strips(im, th) for im in imgs])
     s = strips.shape[1]
@@ -741,12 +784,24 @@ def _encode_dispatch(imgs, th: int, near: int = 0,
     tune = TUNE._replace(seg_bias=0, seg_map=0) if near else TUNE
     with jax.enable_x64():
         if near:
+            # per-image programs, NOT the vmapped batch: XLA:TPU
+            # miscompiles the vmapped x64 near feedback scan at Kodak
+            # scale (batch encodes diverge from the bit-identical single
+            # encodes and their streams decode to garbage; measured
+            # 2026-08-20, batch 6 x (6,128,512) — same silent-miscompile
+            # class as the pavp fusion bug).  Dispatch is async, so the
+            # per-image programs still pipeline through the tunnel.
+            # Strips taller than SEG_ROWS run as several bounded chunk
+            # programs (_encode_near_tall).
             xs = jnp.asarray(strips)
-            if len(imgs) == 1:
-                len_d, flat_d = _code_near_jit(xs[0], near, AVP_N, tune)
-                lens_d, flats_d = len_d[None], flat_d[None]
-            else:
-                lens_d, flats_d = _code_near_batch_jit(xs, near, AVP_N, tune)
+            parts = [
+                _code_near_jit(xs[b], near, AVP_N, tune)
+                if th <= SEG_ROWS
+                else _encode_near_tall(xs[b], near, AVP_N, tune)
+                for b in range(xs.shape[0])
+            ]
+            lens_d = jnp.stack([p[0] for p in parts])
+            flats_d = jnp.stack([p[1] for p in parts])
         elif len(imgs) == 1:
             planes = _model_jit(jnp.asarray(strips[0]), AVP_N, row_frozen)
             len_d, flat_d = _code_jit(*planes, tune)

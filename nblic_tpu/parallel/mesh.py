@@ -374,6 +374,11 @@ def _p3_dispatch_sharded(imgs, th: int, near: int, sharding):
     for im in imgs:
         if im.shape != (h, w):
             raise ValueError("mesh encode requires same-shape images")
+    if near:
+        # the mesh near path runs the vmapped feedback scan as ONE
+        # program; keep it under the platform's single-program execution
+        # bound (the single-host path chunks tall strips instead)
+        th = min(th, strips.SEG_ROWS)
     th = min(th, -(-h // strips.N_PHASE) * strips.N_PHASE)
     tile_stack = np.stack([strips._to_strips(im, th) for im in imgs])
     s = tile_stack.shape[1]

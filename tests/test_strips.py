@@ -110,6 +110,19 @@ def test_near_batch_matches_single(kodak_crop):
         assert np.abs(out.astype(int) - im.astype(int)).max() <= 2
 
 
+def test_near_tall_strip_chunked(kodak_crop, monkeypatch):
+    """Tall near strips encode as several bounded chunk programs with a
+    threaded carry (_encode_near_tall); the chunked split is bit-exact vs
+    the single-program path and round-trips."""
+    img = kodak_crop[:48, :24]
+    single = strips.encode(img, th=48, near=2)
+    monkeypatch.setattr(strips, "SEG_ROWS", 16)  # force 3 chunk programs
+    chunked = strips.encode(img, th=48, near=2)
+    assert chunked == single
+    out = strips.decode(chunked)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
 def test_tiled_dispatch_effort3_near(kodak_crop):
     s = tiled.encode(kodak_crop, near=2, effort=3)
     out = tiled.decode(s)
