@@ -269,8 +269,8 @@ def main() -> int:
             def body(_, acc):
                 x = xs ^ (acc & 1)
                 planes = jax.vmap(
-                    strips._model_planes, in_axes=(0, None, None)
-                )(x, strips.AVP_N, False)
+                    strips._model_planes, in_axes=(0, None, None, None)
+                )(x, strips.AVP_N, False, 0)
                 return planes[1].reshape(-1)[:1]
 
             return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.int32))
@@ -300,7 +300,7 @@ def main() -> int:
 
         with jax.enable_x64():
             t_model = marginal(lambda n: np.asarray(p3_model_loop(xs6, n)))
-            planes6 = strips._model_batch_jit(xs6, strips.AVP_N, False)
+            planes6 = strips._model_batch_jit(xs6, strips.AVP_N, False, 0)
             acc0 = jnp.zeros((1,), jnp.int32)
             t_code = marginal(
                 lambda n: np.asarray(p3_code_loop(*planes6, acc0, n))
@@ -407,6 +407,85 @@ def main() -> int:
         )
 
     run_leg("p3_device_decode", 180, leg_p3_device_decode)
+
+    # ---- leg 6b: serving contract (seg_stats) decode throughput ----
+    # The V3S tune freezes AVP stats per 8-column segment, so the decoder
+    # batches each segment's ridge solves off the per-pixel critical path
+    # (strips.TUNE_V3S; costs ~0.013 bpp vs the flagship, still beats
+    # reference -e2).  Measures the same marginal way at 24 streams.
+    def leg_p3_serving():
+        from nblic_tpu.ops import rans as rans_ops
+
+        old_tune = strips.TUNE
+        try:
+            strips.TUNE = strips.TUNE_V3S
+            gs = [imgs[i : i + 6] for i in range(0, len(imgs), 6)]
+            sstreams = [s for ss in strips.encode_batches(gs) for s in ss]
+        finally:
+            strips.TUNE = old_tune
+        result["p3_serving_bpp"] = round(
+            8.0 * sum(len(s) for s in sstreams) / n_px, 4
+        )
+        emit()
+        parsed = [strips._parse(s) for s in sstreams]
+        s_cnt = parsed[0][0][2]
+        th_s = parsed[0][0][3]
+        ww = parsed[0][0][0] if parsed[0][0][4] else parsed[0][0][1]
+        tune = parsed[0][0][7]
+        wmax = max(2, max(int(p[2].max()) for p in parsed))
+        wmax = -(-wmax // 64) * 64
+        n_str = len(parsed)
+        smat_s = np.concatenate(
+            [rans_ops.pad_streams(p[3], p[2], wmax) for p in parsed]
+        ).astype(np.uint16).view(np.int16)
+        smat_s = smat_s.reshape(n_str * s_cnt, strips.N_PHASE, wmax)
+        seg_rows = min(64, th_s)
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def serv_loop(smat, bias, nn):
+            smat32 = smat.astype(jnp.int32) & 0xFFFF
+
+            def body(_, acc):
+                s2 = smat32 ^ (acc & 1)
+                carry = strips._decode_carry_init(
+                    s2, n_str, s_cnt, ww, strips.AVP_N, 0, tune
+                )
+                _, px = strips._decode_seg(
+                    carry, s2, bias, jnp.int32(0), seg_rows, ww, s_cnt,
+                    n_str, True, strips.AVP_N, 0, tune,
+                )
+                return px.reshape(-1)[:1].astype(jnp.int32)
+
+            return jax.lax.fori_loop(
+                0, nn, body, jnp.zeros((1,), jnp.int32)
+            )
+
+        bias_s = jnp.zeros((n_str, 1), jnp.int32)
+        sm = jnp.asarray(smat_s)
+
+        def run(nn):
+            return np.asarray(serv_loop(sm, bias_s, nn))
+
+        with jax.enable_x64():
+            run(1)
+            run(2)
+            t0 = time.perf_counter()
+            run(1)
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run(2)
+            t_hi = time.perf_counter() - t0
+        t = max(t_hi - t_lo, 1e-9)
+        result["p3_serving_device_decode_mpix_s"] = round(
+            n_str * s_cnt * seg_rows * ww / t / 1e6, 2
+        )
+        # round-trip safety of the serving contract at full scale
+        decs = strips.decode_batch(sstreams[:6])
+        result["p3_serving_roundtrip_ok"] = bool(
+            all(np.array_equal(d, im) for im, d in zip(imgs[:6], decs))
+        )
+
+    run_leg("p3_serving", 240, leg_p3_serving)
 
     # ---- leg 7: marginal device decode (profile 1, Mosaic kernel) ----
     def leg_device_decode():

@@ -103,8 +103,12 @@ class Tune(NamedTuple):
                       # row — sub-row granularity)
     seg_bias: int = 0  # context-bias moments also update per segment
     seg_map: int = 0   # AutoMapper ranks/history also update per segment
+    seg_stats: int = 0  # AVP stats (E chains) frozen at segment starts and
+                        # decay-extended within the segment: all of a
+                        # segment's ridge solves batch OFF the decoder's
+                        # per-pixel critical path (the serving contract)
 
-    SIZE = 16  # serialized: 8 little-endian u16
+    SIZE = 18  # serialized: 9 little-endian u16
 
     def to_bytes(self) -> bytes:
         return np.asarray(self, dtype="<u2").tobytes()
@@ -118,12 +122,17 @@ class Tune(NamedTuple):
         )
 
 
-TUNE_V1 = Tune(2048, 4, 4096, 9, 0, 1, 0, 0)
-TUNE_V2 = Tune(256, 2, 512, 13, 16, 1, 0, 0)
+TUNE_V1 = Tune(2048, 4, 4096, 9, 0, 1, 0, 0, 0)
+TUNE_V2 = Tune(256, 2, 512, 13, 16, 1, 0, 0, 0)
 # round-4 flagship: sub-row adaptation of counters+bias+mapper at 32
 # column segments per row, deeper bias shrink, faster mapper decay (the
 # decay optimum moves with the granularity; sweep: docs/p3_kodak24.txt)
-TUNE_V3 = Tune(256, 2, 256, 13, 48, 32, 1, 1)
+TUNE_V3 = Tune(256, 2, 256, 13, 48, 32, 1, 1, 0)
+# serving contract: 8-column segments with segment-frozen AVP stats — the
+# decoder batches each segment's ridge solves off the per-pixel critical
+# path.  Costs ratio (lag sweep, docs/p3_kodak24.txt: ~4.083 bpp vs the
+# flagship's 4.070) but still beats reference -e2's 4.088.
+TUNE_V3S = TUNE_V3._replace(n_seg=64, seg_stats=1)
 # what new containers are encoded with (env overrides are sweep-only; the
 # chosen constants are serialized into the container either way)
 TUNE = Tune(
@@ -135,6 +144,7 @@ TUNE = Tune(
     int(_os.environ.get("NBLIC_P3_N_SEG", TUNE_V3.n_seg)),
     int(_os.environ.get("NBLIC_P3_SEG_BIAS", TUNE_V3.seg_bias)),
     int(_os.environ.get("NBLIC_P3_SEG_MAP", TUNE_V3.seg_map)),
+    int(_os.environ.get("NBLIC_P3_SEG_STATS", TUNE_V3.seg_stats)),
 )
 
 
@@ -301,12 +311,8 @@ def _row_code(utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
 # ---------------------------------------------------------------------------
 
 
-def _pixel_features(regs, prev1, err, f_row_j, e_acc, i, j, w: int, n: int):
-    """Per-pixel prediction + contexts from the causal (reconstructed)
-    window: AVP over the running moment chains with the simple-predictor
-    fallback, activity quantizers, and the context address.  This is the
-    single definition both the near-lossless feedback encoder and the
-    decoder replay (any drift breaks the round-trip)."""
+def _pixel_taps(regs, prev1, i, j, w: int, n: int):
+    """Neighbor taps + simple prediction from the causal window."""
     nb = Neighbors(*regs)
     px_s = simple_predict(nb)
     # t tap (features 7+): img[i-1, j+2] from the previous (reconstructed)
@@ -320,14 +326,41 @@ def _pixel_features(regs, prev1, err, f_row_j, e_acc, i, j, w: int, n: int):
          for v in (nb.a, nb.b, nb.c, nb.d, nb.e, nb.f, t_tap,
                    nb.h, nb.q, nb.g, nb.r, nb.s)[:n]]
     )
-    stats = e_acc + f_row_j
-    px_f, ok = pavp.predict_from_stats(stats, feats, n)
+    return nb, px_s, feats
+
+
+def _pixel_px0_from_solve(diag, num, ok, feats, px_s):
+    """Fixed-point prediction from a (pre)solved ridge system — the exact
+    tail of pavp.predict_from_stats."""
+    safe = jnp.where(diag == 0, 1, diag)
+    terms = pavp.tdiv(((num * feats) << pavp.FB2) + (safe >> 1), safe)
+    px_f = (jnp.int64(pavp.FIT_BASE) << pavp.FB1) + jnp.sum(terms, axis=0)
+    px_f = jnp.clip(px_f, 0, jnp.int64(255) << pavp.FB1)
     px0 = ((px_f + (1 << (pavp.FB1 - 1))) >> pavp.FB1).astype(jnp.int32)
-    px0 = jnp.where(ok, px0, px_s)
+    return jnp.where(ok, px0, px_s)
+
+
+def _pixel_ctx(nb, err, px0):
+    """Activity quantizers + context address for one pixel column."""
     delta = activity(nb, err)
     qd12 = quantize_activity(delta)
     qu, qv, qw = n_quantize_activity(delta)
     adr = context_address(nb, px0, qd12)
+    return qu, qv, qw, adr
+
+
+def _pixel_features(regs, prev1, err, f_row_j, e_acc, i, j, w: int, n: int):
+    """Per-pixel prediction + contexts from the causal (reconstructed)
+    window: AVP over the running moment chains with the simple-predictor
+    fallback, activity quantizers, and the context address.  This is the
+    single definition both the near-lossless feedback encoder and the
+    decoder replay (any drift breaks the round-trip)."""
+    nb, px_s, feats = _pixel_taps(regs, prev1, i, j, w, n)
+    stats = e_acc + f_row_j
+    px_f, ok = pavp.predict_from_stats(stats, feats, n)
+    px0 = ((px_f + (1 << (pavp.FB1 - 1))) >> pavp.FB1).astype(jnp.int32)
+    px0 = jnp.where(ok, px0, px_s)
+    qu, qv, qw, adr = _pixel_ctx(nb, err, px0)
     return nb, px_s, feats, stats, px0, qu, qv, qw, adr
 
 
@@ -362,7 +395,8 @@ def _pixel_update(x, px_s, feats, stats, e_acc, b_row, j, ab, n: int):
 # ---------------------------------------------------------------------------
 
 
-def _model_planes(strips, n_feat: int = AVP_N, row_frozen: bool = False):
+def _model_planes(strips, n_feat: int = AVP_N, row_frozen: bool = False,
+                  seg_w: int = 0):
     """Whole-plane modeling: AVP prediction + contexts (lossless).
 
     The context-bias correction and residual fold happen in the coding
@@ -379,7 +413,7 @@ def _model_planes(strips, n_feat: int = AVP_N, row_frozen: bool = False):
     4.1115 vs 4.1114 bpp on Kodak-24 at th=256, at 2x the encode cost.)
     """
     x = strips.astype(jnp.int32)
-    px0 = pavp.predict_plane(x, n_feat, row_frozen)
+    px0 = pavp.predict_plane(x, n_feat, row_frozen, seg_w)
     nb = sample(x)
     err_raw = x - px0
     err_c = jnp.clip(err_raw, -MAX_PX_INC, MAX_PX_INC)
@@ -539,32 +573,41 @@ def _code_impl(x, px0, adr, qu, qv, qw, tune: Tune = TUNE):
     return lengths, flat32
 
 
-def _near_carry_init(s: int, w: int, near: int, n_feat: int, tune: Tune):
+def _near_carry_init(n_imgs: int, s: int, w: int, near: int, n_feat: int,
+                     tune: Tune):
     """Initial feedback-scan carry for the near encoder (window rows, AVP
-    chains, coder tables, bias moments)."""
+    chains, coder tables, bias moments); lanes = n_imgs * s strips with
+    per-image mapper/bias tables."""
+    lanes = n_imgs * s
     m = pavp.get_m(n_feat)
     lc = zcodec3.layer_consts(_k_step(near), tune.n_unary)
     return (
-        jnp.zeros((s, w), jnp.int32),
-        jnp.zeros((s, w), jnp.int32),
-        jnp.zeros((m, s, w), jnp.int64),
-        coder3.init_unary(s, lc.n_class),
-        coder3.init_refine(s),
-        coder3.init_mapper(1),
-        jnp.zeros((Q_N_CONTEXT,), jnp.int32),
-        jnp.zeros((Q_N_CONTEXT,), jnp.int32),
+        jnp.zeros((lanes, w), jnp.int32),
+        jnp.zeros((lanes, w), jnp.int32),
+        jnp.zeros((m, lanes, w), jnp.int64),
+        coder3.init_unary(lanes, lc.n_class),
+        coder3.init_refine(lanes),
+        coder3.init_mapper(n_imgs),
+        jnp.zeros((n_imgs, Q_N_CONTEXT), jnp.int32),
+        jnp.zeros((n_imgs, Q_N_CONTEXT), jnp.int32),
     )
 
 
-def _near_rows(carry, x_rows, i0, near: int, n_feat: int, tune: Tune):
-    """Near feedback scan over ``x_rows`` (s, rows, w) starting at
+def _near_rows(carry, x_rows, i0, s: int, near: int, n_feat: int,
+               tune: Tune):
+    """Near feedback scan over ``x_rows`` (n_imgs*s, rows, w) starting at
     absolute row ``i0``; returns (carry', (probs, bins, masks)) with the
-    slot planes stacked (rows, L, s, w).  A tall strip runs this as
-    several bounded device programs with the carry threaded between them
-    (single-program execution time is bounded on the tunnel worker)."""
-    s, rows, w = x_rows.shape
+    slot planes stacked (rows, L, lanes, w).  Lanes from different images
+    keep independent mapper/bias tables (``s`` strips per image).  A tall
+    strip runs this as several bounded device programs with the carry
+    threaded between them (single-program execution time is bounded on
+    the tunnel worker); a corpus batches as extra lanes of ONE program
+    (the vmapped variant is miscompiled by XLA:TPU — this widened-lane
+    form matches the proven decoder geometry instead)."""
+    lanes, rows, w = x_rows.shape
+    n_imgs = lanes // s
     k_step = _k_step(near)
-    img_of_lane = jnp.zeros((s,), jnp.int32)
+    img_of_lane = jnp.repeat(jnp.arange(n_imgs, dtype=jnp.int32), s)
     n = n_feat
     m = pavp.get_m(n)
     ab = pavp._ab_vec(m)
@@ -583,7 +626,9 @@ def _near_rows(carry, x_rows, i0, near: int, n_feat: int, tune: Tune):
             nb, px_s, feats, stats, px0, qu, qv, qw, adr = _pixel_features(
                 regs, prev1, err, f_row[:, :, j], e_acc, i, j, w, n
             )
-            bias = jnp.take(btab, adr)
+            bias = jnp.take_along_axis(
+                btab, adr.reshape(n_imgs, s), axis=1
+            ).reshape(lanes)
             sign, pxc, key = _pixel_correct(px0, bias)
             y = ctx_ops.residual_fold(x_col, pxc, sign, near)
             xr = ctx_ops.residual_unfold(y, pxc, sign, near)
@@ -597,10 +642,10 @@ def _near_rows(carry, x_rows, i0, near: int, n_feat: int, tune: Tune):
                 (xr, y, qu, qv, qw, key, adr, px0),
             )
 
-        e0 = jnp.zeros((m, s), jnp.int64)
+        e0 = jnp.zeros((m, lanes), jnp.int64)
         (_, _, _, b_row), cols = jax.lax.scan(
             col_body,
-            (regs0, jnp.zeros((s,), jnp.int32), e0, b_row),
+            (regs0, jnp.zeros((lanes,), jnp.int32), e0, b_row),
             (jnp.arange(w, dtype=jnp.int32), jnp.moveaxis(x_row, 1, 0)),
         )
         xr_r, y_r, qu_r, qv_r, qw_r, key_r, adr_r, px0_r = [
@@ -610,8 +655,9 @@ def _near_rows(carry, x_rows, i0, near: int, n_feat: int, tune: Tune):
             utab, rtab, mhist, img_of_lane, y_r, qu_r, qv_r, qw_r, key_r,
             k_step, tune,
         )
+        idx = img_of_lane[:, None] * Q_N_CONTEXT + adr_r
         bsums, bcnts = _bias_update(
-            bsums, bcnts, adr_r, xr_r - px0_r, tune.bias_cap
+            bsums, bcnts, idx, xr_r - px0_r, tune.bias_cap
         )
         return (
             (xr_r, prev1, b_row, utab, rtab, mhist, bsums, bcnts),
@@ -657,18 +703,20 @@ def _code_near_impl(x, near: int, n_feat: int, tune: Tune = TUNE):
     bias/mapper stay row-frozen — the recorded tune says so).
     """
     s, th, w = x.shape
-    carry = _near_carry_init(s, w, near, n_feat, tune)
-    _, (probs, bins, masks) = _near_rows(carry, x, 0, near, n_feat, tune)
+    carry = _near_carry_init(1, s, w, near, n_feat, tune)
+    _, (probs, bins, masks) = _near_rows(
+        carry, x, 0, s, near, n_feat, tune
+    )
     return _near_fold(probs, bins, masks, tune)
 
 
 # the encode runs as two device programs (modeling | coding): each compiles
 # in minutes rather than the single fused program's hours on the remote
 # TPU compiler, and both cache independently
-_model_jit = jax.jit(_model_planes, static_argnums=(1, 2))
+_model_jit = jax.jit(_model_planes, static_argnums=(1, 2, 3))
 _model_batch_jit = jax.jit(
-    jax.vmap(_model_planes, in_axes=(0, None, None)),
-    static_argnums=(1, 2),
+    jax.vmap(_model_planes, in_axes=(0, None, None, None)),
+    static_argnums=(1, 2, 3),
 )
 _code_jit = jax.jit(_code_impl, static_argnums=(6,))
 _code_batch_jit = jax.jit(
@@ -680,28 +728,33 @@ _code_near_batch_jit = jax.jit(
     jax.vmap(_code_near_impl, in_axes=(0, None, None, None)),
     static_argnums=(1, 2, 3),
 )
-_near_seg_jit = jax.jit(_near_rows, static_argnums=(3, 4, 5))
+_near_seg_jit = jax.jit(_near_rows, static_argnums=(3, 4, 5, 6))
 _near_fold_jit = jax.jit(_near_fold, static_argnums=(3,))
 
 
-def _encode_near_tall(x_img, near: int, n_feat: int, tune: Tune):
-    """Near encode of one image's tall strips as several bounded device
-    programs (SEG_ROWS-row chunks, carry threaded; the per-pixel feedback
-    scan cannot run as one program past the platform's single-program
-    execution bound) + one fold program.  Taller strips adapt longer:
-    th 128 -> 768 is worth ~1% of the near bitrate on Kodak."""
-    s, th, w = x_img.shape
+def _encode_near_multi(x_imgs, near: int, n_feat: int, tune: Tune):
+    """Near encode of a same-shape batch (B, s, th, w) as ONE widened-lane
+    pipeline: lanes = B*s strips walk together (per-image tables), tall
+    strips split into SEG_ROWS-row chunk programs with the feedback carry
+    threaded between them, then one joint fold program packs every
+    image's streams back to back.  Taller strips adapt longer (th
+    128 -> 768 is worth ~1% of the near bitrate on Kodak), and the wide
+    single program replaces the vmapped batch XLA:TPU miscompiles.
+
+    Returns (lengths (B*s*N_PHASE,), flat32) device arrays; the caller
+    splits per image by the summed lane lengths."""
+    b, s, th, w = x_imgs.shape
     n_prog = max(1, -(-th // SEG_ROWS))
     while th % n_prog:
         n_prog += 1
     rows = th // n_prog
-    carry = _near_carry_init(s, w, near, n_feat, tune)
-    xs = jnp.asarray(x_img)
+    carry = _near_carry_init(b, s, w, near, n_feat, tune)
+    xs = jnp.asarray(x_imgs).reshape(b * s, th, w)
     chunks = []
     for k in range(n_prog):
         carry, slots = _near_seg_jit(
             carry, xs[:, k * rows : (k + 1) * rows], jnp.int32(k * rows),
-            near, n_feat, tune,
+            s, near, n_feat, tune,
         )
         chunks.append(slots)
     probs, bins, masks = (
@@ -781,34 +834,36 @@ def _encode_dispatch(imgs, th: int, near: int = 0,
     s = strips.shape[1]
     # the near feedback scan keeps bias/mapper row-frozen (its per-pixel
     # walk reads the tables the whole row); the recorded tune says so
-    tune = TUNE._replace(seg_bias=0, seg_map=0) if near else TUNE
+    tune = (TUNE._replace(seg_bias=0, seg_map=0, seg_stats=0)
+            if near else TUNE)
     with jax.enable_x64():
         if near:
-            # per-image programs, NOT the vmapped batch: XLA:TPU
-            # miscompiles the vmapped x64 near feedback scan at Kodak
-            # scale (batch encodes diverge from the bit-identical single
-            # encodes and their streams decode to garbage; measured
-            # 2026-08-20, batch 6 x (6,128,512) — same silent-miscompile
-            # class as the pavp fusion bug).  Dispatch is async, so the
-            # per-image programs still pipeline through the tunnel.
-            # Strips taller than SEG_ROWS run as several bounded chunk
-            # programs (_encode_near_tall).
-            xs = jnp.asarray(strips)
-            parts = [
-                _code_near_jit(xs[b], near, AVP_N, tune)
-                if th <= SEG_ROWS
-                else _encode_near_tall(xs[b], near, AVP_N, tune)
-                for b in range(xs.shape[0])
-            ]
-            lens_d = jnp.stack([p[0] for p in parts])
-            flats_d = jnp.stack([p[1] for p in parts])
-        elif len(imgs) == 1:
-            planes = _model_jit(jnp.asarray(strips[0]), AVP_N, row_frozen)
-            len_d, flat_d = _code_jit(*planes, tune)
-            lens_d, flats_d = len_d[None], flat_d[None]
+            # ONE widened-lane chunked pipeline for the whole batch (the
+            # vmapped near batch is miscompiled by XLA:TPU — measured
+            # 2026-08-20, batch 6 x (6,128,512): batch encodes diverged
+            # from the bit-identical single encodes; the wide-lane form
+            # matches the proven decoder geometry)
+            lens_nm, flat_nm = _encode_near_multi(strips, near, AVP_N, tune)
+            return ("nm", lens_nm, flat_nm, dims, tflags, s, th, near,
+                    tune)
         else:
-            planes = _model_batch_jit(jnp.asarray(strips), AVP_N, row_frozen)
-            lens_d, flats_d = _code_batch_jit(*planes, tune)
+            # the seg_stats serving contract lags the AVP E chains at the
+            # counter-segment geometry (pavp.e_freeze_extend)
+            seg_w = (
+                strips.shape[-1] // _eff_seg(tune.n_seg, strips.shape[-1])
+                if tune.seg_stats else 0
+            )
+            if len(imgs) == 1:
+                planes = _model_jit(
+                    jnp.asarray(strips[0]), AVP_N, row_frozen, seg_w
+                )
+                len_d, flat_d = _code_jit(*planes, tune)
+                lens_d, flats_d = len_d[None], flat_d[None]
+            else:
+                planes = _model_batch_jit(
+                    jnp.asarray(strips), AVP_N, row_frozen, seg_w
+                )
+                lens_d, flats_d = _code_batch_jit(*planes, tune)
     return (lens_d, flats_d, dims, tflags, s, th, near, tune)
 
 
@@ -816,6 +871,28 @@ def _encode_finalize(work) -> list[bytes]:
     """Fetch a dispatched batch (lengths, then only each packed stream's
     live prefix — the padded fold buffer is ~40x the compressed size and
     the tunnel is the bottleneck) and emit containers."""
+    if work[0] == "nm":
+        # near multi-lane joint fold: every image's streams sit back to
+        # back in ONE packed buffer (pack_streams lane order is
+        # image-major); split by the summed per-image lane lengths
+        _, lens_d, flat_d, dims, tflags, s, th, near, tune = work
+        n_states = s * N_PHASE
+        lens = np.asarray(lens_d, np.uint32).reshape(len(dims), n_states)
+        total_words = int(lens.astype(np.int64).sum())
+        flat32 = np.asarray(flat_d[: (total_words + 1) // 2], np.uint32)
+        u16 = np.empty(flat32.size * 2, np.uint16)
+        u16[0::2] = flat32 & 0xFFFF
+        u16[1::2] = flat32 >> 16
+        out = []
+        off = 0
+        for b in range(len(dims)):
+            n_words = int(lens[b].astype(np.int64).sum())
+            out.append(
+                _container(lens[b], u16[off : off + n_words], dims[b][0],
+                           dims[b][1], s, th, tflags[b], near, tune)
+            )
+            off += n_words
+        return out
     lens_d, flats_d, dims, tflags, s, th, near, tune = work
     lens = np.asarray(lens_d, np.uint32)
     totals = [int(m.sum() + 1) // 2 for m in lens.astype(np.int64)]
@@ -913,6 +990,7 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
     ws = w // n_seg
     seg_bias = bool(tune.seg_bias) and n_seg > 1 and adaptive
     seg_map = bool(tune.seg_map) and n_seg > 1
+    seg_stats = bool(tune.seg_stats) and w % n_seg == 0
     wmax = smat.shape[-1]
     words_flat = smat.reshape(lanes, N_PHASE * wmax)
 
@@ -988,14 +1066,63 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 order_l = jnp.take(order, img_of_lane, axis=0)
             else:
                 order_l = order_row
+            if seg_stats:
+                # seg_stats contract: solves use E frozen at the segment
+                # start, decay-extended (pavp.e_freeze_extend's twin);
+                # the true e_acc still threads through for the next
+                # segment's freeze point.  The whole segment's ridge
+                # solves batch HERE, off the per-pixel critical path —
+                # the walk keeps only the n-term dot product.
+                def dstep(st, _):
+                    st2 = pavp.tdiv(st * (ab - 1) + (ab >> 1), ab)
+                    return st2, st2
 
-            def col_body(ccarry, j):
-                regs, err, e_acc, b_row, states, ptrs = ccarry
-                nb, px_s, feats, stats, px0, qu, qv, qw, adr = (
-                    _pixel_features(
-                        regs, prev1, err, f_row[:, :, j], e_acc, i, j, w, n
-                    )
+                _, e_ext = jax.lax.scan(
+                    dstep, e_acc, None, length=ws - 1
                 )
+                e_lag = jnp.concatenate([e_acc[None], e_ext], axis=0)
+                f_seg = jax.lax.dynamic_slice_in_dim(
+                    f_row, j0, ws, axis=2
+                )  # (m, lanes, ws)
+                stats_seg = e_lag + jnp.moveaxis(f_seg, 2, 0)
+                stats_fl = stats_seg.transpose(1, 2, 0).reshape(
+                    m, lanes * ws
+                )
+                bias_r = jnp.int64(pavp.RIDGE_BIAS)
+                bvec = stats_fl[1 : 1 + n] + (bias_r << pavp.FB3)
+                eye = jnp.eye(n, dtype=jnp.int64)[:, :, None]
+                amat = (
+                    stats_fl[1 + n :].reshape(n, n, -1)
+                    + eye * (bias_r * n)
+                )
+                # barrier: the int64 solve miscompiles when XLA fuses the
+                # surrounding layout ops into it (same hazard class as
+                # pavp.predict_chunked's measured bug)
+                amat, bvec = jax.lax.optimization_barrier((amat, bvec))
+                diag, num, ok = pavp.solve_batch(amat, bvec, n)
+                diag_x = diag.reshape(n, lanes, ws).transpose(2, 0, 1)
+                num_x = num.reshape(n, lanes, ws).transpose(2, 0, 1)
+                ok_x = ok.reshape(lanes, ws).transpose(1, 0)
+
+            def col_body(ccarry, col_in):
+                regs, err, e_acc, b_row, states, ptrs = ccarry
+                if seg_stats:
+                    # fast path: prediction from the presolved system
+                    j, e_use, diag_k, num_k, ok_k = col_in
+                    nb, px_s, feats = _pixel_taps(regs, prev1, i, j, w, n)
+                    stats = e_use + f_row[:, :, j]
+                    px0 = _pixel_px0_from_solve(
+                        diag_k, num_k, ok_k, feats, px_s
+                    )
+                    qu, qv, qw, adr = _pixel_ctx(nb, err, px0)
+                else:
+                    j = col_in
+                    nb, px_s, feats, stats, px0, qu, qv, qw, adr = (
+                        _pixel_features(
+                            regs, prev1, err, f_row[:, :, j], e_acc, i, j,
+                            w, n,
+                        )
+                    )
                 bias = jnp.take_along_axis(
                     btab_b, adr.reshape(n_imgs, s), axis=1
                 ).reshape(lanes)
@@ -1086,10 +1213,13 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                     (x, y, z, qu, qv, qw, key, adr, px0),
                 )
 
+            col_xs = j0 + jnp.arange(ws, dtype=jnp.int32)
+            if seg_stats:
+                col_xs = (col_xs, e_lag, diag_x, num_x, ok_x)
             (regs, err, e_acc, b_row, states, ptrs), cols = jax.lax.scan(
                 col_body,
                 (regs, err, e_acc, b_row, states, ptrs),
-                j0 + jnp.arange(ws, dtype=jnp.int32),
+                col_xs,
             )
             x_c, y_c, z_c, qu_c, qv_c, qw_c, key_c, adr_c, px0_c = [
                 jnp.moveaxis(v, 0, 1) for v in cols

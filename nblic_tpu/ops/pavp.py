@@ -77,6 +77,30 @@ def e_chain(b_new, first_beta: bool = True):
     return out
 
 
+def e_freeze_extend(e, seg_w: int, first_beta: bool = True):
+    """Segment-frozen E: keep E at block starts, decay-extend within.
+
+    e: (W, c, L) E-before-col planes.  Returns the lagged contract's E:
+    E'(j0 + k) = decay^k(E(j0)) for block starts j0 (multiples of
+    ``seg_w``) — exactly what a decoder that batches a whole segment's
+    ridge solves can compute before decoding the segment (strips.Tune
+    seg_stats).  Integer-identical on both sides (same tdiv chain).
+    """
+    w = e.shape[0]
+    if seg_w <= 1 or w % seg_w:
+        return e
+    ab = _ab_vec(e.shape[1], first_beta)
+    starts = e[::seg_w]  # (nb, c, L)
+
+    def step(st, _):
+        st = tdiv(st * (ab - 1) + (ab >> 1), ab)
+        return st, st
+
+    _, ext = jax.lax.scan(step, starts, None, length=seg_w - 1)
+    full = jnp.concatenate([starts[None], ext], axis=0)  # (seg_w, nb, ...)
+    return full.transpose(1, 0, 2, 3).reshape(e.shape)
+
+
 def f_chain(b_prev, first_beta: bool = True):
     """F at each column from the previous row's B (AVPprecalcuate,
     NBLIC.c:186-204).  b_prev: (W, m, L); returns F: (W, m, L)."""
@@ -271,7 +295,8 @@ def predict_from_stats(stats, feats, n: int):
     return px, ok
 
 
-def predict_plane(strips, n: int = N_FEAT, row_frozen: bool = False):
+def predict_plane(strips, n: int = N_FEAT, row_frozen: bool = False,
+                  seg_w: int = 0):
     """AVP prediction for every pixel of (S, H, W) int32 strips, in parallel.
 
     Returns the int32 px0 plane.  Decomposition of the reference's per-pixel
@@ -326,10 +351,15 @@ def predict_plane(strips, n: int = N_FEAT, row_frozen: bool = False):
             [jnp.zeros_like(b_new[:, :, :1]), b_new[:, :, :-1]], axis=2
         )
         # E: in-row left chain (v2/row_frozen: over the previous row's B,
-        # so the stats at (i, j) use rows < i only)
+        # so the stats at (i, j) use rows < i only); with ``seg_w`` the
+        # chain is frozen at segment starts and decay-extended (the
+        # seg_stats serving contract — lets the decoder batch solves)
         e_src = b_prev if row_frozen else b_new
         e_in = e_src.transpose(3, 0, 1, 2).reshape(w, c, s * h)
-        e = e_chain(e_in, first_beta).reshape(w, c, s, h).transpose(1, 2, 3, 0)
+        e = e_chain(e_in, first_beta)
+        if seg_w:
+            e = e_freeze_extend(e, seg_w, first_beta)
+        e = e.reshape(w, c, s, h).transpose(1, 2, 3, 0)
         # F: right-to-left prefix of the previous row's B
         f_in = b_prev.transpose(3, 0, 1, 2).reshape(w, c, s * h)
         f = f_chain(f_in, first_beta).reshape(w, c, s, h).transpose(1, 2, 3, 0)

@@ -384,7 +384,7 @@ def _p3_dispatch_sharded(imgs, th: int, near: int, sharding):
     s = tile_stack.shape[1]
     xs = jax.device_put(jnp.asarray(tile_stack), sharding)
     tune = (
-        strips.TUNE._replace(seg_bias=0, seg_map=0)
+        strips.TUNE._replace(seg_bias=0, seg_map=0, seg_stats=0)
         if near else strips.TUNE
     )
     with jax.enable_x64():
@@ -393,7 +393,13 @@ def _p3_dispatch_sharded(imgs, th: int, near: int, sharding):
                 xs, near, strips.AVP_N, tune
             )
         else:
-            planes = strips._model_batch_jit(xs, strips.AVP_N, False)
+            seg_w = (
+                xs.shape[-1] // strips._eff_seg(tune.n_seg, xs.shape[-1])
+                if tune.seg_stats else 0
+            )
+            planes = strips._model_batch_jit(
+                xs, strips.AVP_N, False, seg_w
+            )
             lens_d, flats_d = strips._code_batch_jit(
                 *planes, tune
             )

@@ -161,6 +161,10 @@ def test_segment_adaptation_roundtrip(kodak_crop, monkeypatch):
     variants = [
         strips.TUNE_V2._replace(n_seg=4),
         strips.TUNE_V2._replace(n_seg=4, seg_bias=1, seg_map=1),
+        # serving contract: segment-frozen AVP stats (the decoder batches
+        # the segment's ridge solves off the per-pixel critical path)
+        strips.TUNE_V2._replace(n_seg=4, seg_bias=1, seg_map=1,
+                                seg_stats=1),
     ]
     img = kodak_crop[:48, :64]
     for tune in variants:
