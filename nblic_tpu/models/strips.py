@@ -107,8 +107,14 @@ class Tune(NamedTuple):
                         # decay-extended within the segment: all of a
                         # segment's ridge solves batch OFF the decoder's
                         # per-pixel critical path (the serving contract)
+    sym_cnt: int = 0    # PER-SYMBOL counter adaptation inside segments:
+                        # each bin's probability uses the segment-start
+                        # counts plus the earlier in-segment events of its
+                        # cell (exact prefix sums in the parallel encoder;
+                        # the reference adapts per symbol, NBLIC.c:595-618;
+                        # halving stays at segment boundaries)
 
-    SIZE = 18  # serialized: 9 little-endian u16
+    SIZE = 20  # serialized: 10 little-endian u16
 
     def to_bytes(self) -> bytes:
         return np.asarray(self, dtype="<u2").tobytes()
@@ -122,12 +128,12 @@ class Tune(NamedTuple):
         )
 
 
-TUNE_V1 = Tune(2048, 4, 4096, 9, 0, 1, 0, 0, 0)
-TUNE_V2 = Tune(256, 2, 512, 13, 16, 1, 0, 0, 0)
+TUNE_V1 = Tune(2048, 4, 4096, 9, 0, 1, 0, 0, 0, 0)
+TUNE_V2 = Tune(256, 2, 512, 13, 16, 1, 0, 0, 0, 0)
 # round-4 flagship: sub-row adaptation of counters+bias+mapper at 32
 # column segments per row, deeper bias shrink, faster mapper decay (the
 # decay optimum moves with the granularity; sweep: docs/p3_kodak24.txt)
-TUNE_V3 = Tune(256, 2, 256, 13, 48, 32, 1, 1, 0)
+TUNE_V3 = Tune(256, 2, 256, 13, 48, 32, 1, 1, 0, 0)
 # serving contract: 8-column segments with segment-frozen AVP stats — the
 # decoder batches each segment's ridge solves off the per-pixel critical
 # path.  Costs ratio (lag sweep, docs/p3_kodak24.txt: ~4.083 bpp vs the
@@ -145,6 +151,7 @@ TUNE = Tune(
     int(_os.environ.get("NBLIC_P3_SEG_BIAS", TUNE_V3.seg_bias)),
     int(_os.environ.get("NBLIC_P3_SEG_MAP", TUNE_V3.seg_map)),
     int(_os.environ.get("NBLIC_P3_SEG_STATS", TUNE_V3.seg_stats)),
+    int(_os.environ.get("NBLIC_P3_SYM_CNT", TUNE_V3.sym_cnt)),
 )
 
 
@@ -192,26 +199,139 @@ def _code_events(z, qu_r, qv_r, k_step: int, n_unary: int):
     return unary, refine, row_end, k_end, escaped
 
 
+def _sym_unary_probs(utab, unary, qw_r, lc, tune: Tune):
+    """PER-SYMBOL unary probabilities inside a segment via exact prefix
+    sums: each slot's counts = segment-start table + the earlier
+    in-segment events of its cells (the reference updates its counters
+    after every bin, NBLIC.c:595-618; this computes the identical count
+    sequence whole-segment-parallel).  Returns the per-layer prob list."""
+    lanes, ws = unary[0][0].shape
+    l_u = len(unary)
+    nrow, nc = utab.shape[1], utab.shape[2]
+    qwf = qw_r.astype(jnp.float32)
+
+    incr = jnp.zeros((lanes, ws, l_u, nrow, nc, 2), jnp.float32)
+    ohs = []
+    for l, (ru, rv, b, act) in enumerate(unary):
+        actf = act.astype(jnp.float32)
+        ohb = jax.nn.one_hot(b.astype(jnp.int32), 2, dtype=jnp.float32)
+        ohu = jax.nn.one_hot(ru, nrow, dtype=jnp.float32) * actf[..., None]
+        ohv = jax.nn.one_hot(rv, nrow, dtype=jnp.float32) * actf[..., None]
+        cell = (
+            ohu * (coder3.QW_MAX - qwf)[..., None]
+            + ohv * qwf[..., None]
+        )  # (lanes, ws, nrow)
+        incr = incr.at[:, :, l, :, lc.cls_vals[l], :].add(
+            cell[..., None] * ohb[..., None, :]
+        )
+        ohs.append((ohu, ohv))
+    flat = incr.reshape(lanes, ws * l_u, nrow, nc, 2)
+    before = jnp.cumsum(flat, axis=1) - flat + utab.astype(jnp.float32)[
+        :, None
+    ]
+    before = before.reshape(lanes, ws, l_u, nrow, nc, 2)
+
+    probs = []
+    for l, (ru, rv, b, act) in enumerate(unary):
+        cl = before[:, :, l, :, lc.cls_vals[l], :]  # (lanes, ws, nrow, 2)
+        ohu, ohv = ohs[l]
+        ohu = jax.nn.one_hot(ru, nrow, dtype=jnp.float32)
+        ohv = jax.nn.one_hot(rv, nrow, dtype=jnp.float32)
+        cu = jnp.einsum(
+            "lwr,lwrb->lwb", ohu, cl,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+        cv = jnp.einsum(
+            "lwr,lwrb->lwb", ohv, cl,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+        pu = jnp.clip(
+            (rans_bin.PROB_MAX * cu[..., 1]) // (cu[..., 0] + cu[..., 1]),
+            1, rans_bin.PROB_MAX - 1,
+        )
+        pv = jnp.clip(
+            (rans_bin.PROB_MAX * cv[..., 1]) // (cv[..., 0] + cv[..., 1]),
+            1, rans_bin.PROB_MAX - 1,
+        )
+        probs.append(coder3.mix_prob(pu, pv, qw_r))
+    return probs
+
+
+def _sym_refine_probs(rtab, refine, row_end, k_end):
+    """Per-symbol refine-bit probabilities (prefix-sum twin of
+    _sym_unary_probs over the (row, bitpos, msb) refine cells)."""
+    lanes, ws = refine[0][0].shape
+    nr = zcodec3.N_REFINE
+    nrow = rtab.shape[1]
+    incr = jnp.zeros((lanes, ws, nr, nrow, nr, 2, 2), jnp.float32)
+    reads = []
+    for l, (bit, act, msb) in enumerate(refine):
+        actf = act.astype(jnp.float32)
+        kk = jnp.clip(k_end - 1 - l, 0, nr - 1)
+        ohr = jax.nn.one_hot(row_end, nrow, dtype=jnp.float32)
+        ohk = jax.nn.one_hot(kk, nr, dtype=jnp.float32)
+        ohm = jax.nn.one_hot(msb, 2, dtype=jnp.float32)
+        ohb = jax.nn.one_hot(bit.astype(jnp.int32), 2, dtype=jnp.float32)
+        ev = jnp.einsum(
+            "lwr,lwk,lwm,lwx->lwrkmx", ohr * actf[..., None], ohk, ohm,
+            ohb, precision=jax.lax.Precision.HIGHEST,
+        )
+        incr = incr.at[:, :, l].add(ev)
+        reads.append((ohr, ohk, ohm))
+    flat = incr.reshape(lanes, ws * nr, nrow, nr, 2, 2)
+    before = jnp.cumsum(flat, axis=1) - flat + rtab.astype(jnp.float32)[
+        :, None
+    ]
+    before = before.reshape(lanes, ws, nr, nrow, nr, 2, 2)
+
+    probs = []
+    for l in range(nr):
+        ohr, ohk, ohm = reads[l]
+        c = jnp.einsum(
+            "lwr,lwk,lwm,lwrkmx->lwx", ohr, ohk, ohm, before[:, :, l],
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+        probs.append(jnp.clip(
+            (rans_bin.PROB_MAX * c[..., 1]) // (c[..., 0] + c[..., 1]),
+            1, rans_bin.PROB_MAX - 1,
+        ))
+    return probs
+
+
 def _seg_slots_update(utab, rtab, z, qw_r, unary, refine, row_end, k_end,
                       escaped, k_step: int, tune: Tune):
     """Per-slot (prob, bin, mask) for one column segment from the CURRENT
     counter tables, then fold the segment's events back into them.  The
-    decoder replays the identical update from its decoded planes."""
+    decoder replays the identical update from its decoded planes.  With
+    ``tune.sym_cnt`` the probabilities are per-symbol (prefix-sum counts
+    within the segment); the table transition is unchanged (halving at
+    segment boundaries)."""
     lc = zcodec3.layer_consts(k_step, tune.n_unary)
-    uprob = coder3.prob_table(utab)
-    rprob = coder3.prob_table(rtab)
+    sym = bool(tune.sym_cnt)
+    if sym:
+        u_probs = _sym_unary_probs(utab, unary, qw_r, lc, tune)
+        r_probs = _sym_refine_probs(rtab, refine, row_end, k_end)
+    else:
+        uprob = coder3.prob_table(utab)
+        rprob = coder3.prob_table(rtab)
     probs, bins, masks = [], [], []
     for l, (ru, rv, b, act) in enumerate(unary):
-        pu = _layer_prob_plane(uprob, ru, lc.cls_vals[l])
-        pv = _layer_prob_plane(uprob, rv, lc.cls_vals[l])
-        probs.append(coder3.mix_prob(pu, pv, qw_r))
+        if sym:
+            probs.append(u_probs[l])
+        else:
+            pu = _layer_prob_plane(uprob, ru, lc.cls_vals[l])
+            pv = _layer_prob_plane(uprob, rv, lc.cls_vals[l])
+            probs.append(coder3.mix_prob(pu, pv, qw_r))
         bins.append(b.astype(jnp.int32))
         masks.append(act)
     for l in range(L_R):
         if l < zcodec3.N_REFINE:
             bit, act, msb = refine[l]
-            kk = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
-            p_ad = _refine_prob_plane(rprob, row_end, kk, msb)
+            if sym:
+                p_ad = r_probs[l]
+            else:
+                kk = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
+                p_ad = _refine_prob_plane(rprob, row_end, kk, msb)
         else:
             bit = jnp.zeros_like(z)
             act = jnp.zeros(z.shape, bool)
@@ -991,6 +1111,7 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
     seg_bias = bool(tune.seg_bias) and n_seg > 1 and adaptive
     seg_map = bool(tune.seg_map) and n_seg > 1
     seg_stats = bool(tune.seg_stats) and w % n_seg == 0
+    sym_cnt = bool(tune.sym_cnt)
     wmax = smat.shape[-1]
     words_flat = smat.reshape(lanes, N_PHASE * wmax)
 
@@ -1052,11 +1173,15 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
             """Decode one ws-column segment with the adaptive tables
             frozen at its start, then fold the segment's events into them
             (the encoder's _code_impl does the identical per-segment
-            transition)."""
+            transition).  With ``tune.sym_cnt`` the unary/refine counters
+            update after every bin inside the walk (the encoder's
+            prefix-sum probabilities), and only halving happens at the
+            segment boundary."""
             (regs, err, e_acc, b_row, utab, rtab, mhist, bsums, bcnts,
              states, ptrs) = scarry
-            uprob = coder3.prob_table(utab)
-            rprob = coder3.prob_table(rtab)
+            if not sym_cnt:
+                uprob = coder3.prob_table(utab)
+                rprob = coder3.prob_table(rtab)
             btab_b = (
                 ctx_ops.quantize_bias(bsums, bcnts, tune.bias_shrink)
                 if seg_bias else btab_row
@@ -1105,7 +1230,9 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 ok_x = ok.reshape(lanes, ws).transpose(1, 0)
 
             def col_body(ccarry, col_in):
-                regs, err, e_acc, b_row, states, ptrs = ccarry
+                (regs, err, e_acc, b_row, states, ptrs, utab,
+                 rtab) = ccarry
+                li = jnp.arange(lanes)
                 if seg_stats:
                     # fast path: prediction from the presolved system
                     j, e_use, diag_k, num_k, ok_k = col_in
@@ -1138,12 +1265,35 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 for l in range(l_u):
                     ru = zcodec3.escalated_row(qu, lc.esc_counts[l], k_step)
                     rv = zcodec3.escalated_row(qv2, lc.esc_counts[l], k_step)
-                    pu = _gather_prob(uprob, ru, lc.cls_vals[l])
-                    pv = _gather_prob(uprob, rv, lc.cls_vals[l])
+                    if sym_cnt:
+                        # per-symbol: probs from the LIVE counters
+                        cu = utab[li, ru, lc.cls_vals[l]]
+                        cv = utab[li, rv, lc.cls_vals[l]]
+                        pu = jnp.clip(
+                            (rans_bin.PROB_MAX * cu[:, 1])
+                            // (cu[:, 0] + cu[:, 1]),
+                            1, rans_bin.PROB_MAX - 1,
+                        )
+                        pv = jnp.clip(
+                            (rans_bin.PROB_MAX * cv[:, 1])
+                            // (cv[:, 0] + cv[:, 1]),
+                            1, rans_bin.PROB_MAX - 1,
+                        )
+                    else:
+                        pu = _gather_prob(uprob, ru, lc.cls_vals[l])
+                        pv = _gather_prob(uprob, rv, lc.cls_vals[l])
                     p1 = coder3.mix_prob(pu, pv, qw)
                     b, states, ptrs = code_bin(
                         states, ptrs, l, p1, active, base
                     )
+                    if sym_cnt:
+                        am = active.astype(jnp.int32)
+                        utab = utab.at[li, ru, lc.cls_vals[l], b].add(
+                            (coder3.QW_MAX - qw) * am
+                        )
+                        utab = utab.at[li, rv, lc.cls_vals[l], b].add(
+                            qw * am
+                        )
                     stop_here = active & (b == 0)
                     stop_row = jnp.where(stop_here, ru, stop_row)
                     stop_layer = jnp.where(stop_here, l, stop_layer)
@@ -1163,7 +1313,15 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                     if l < zcodec3.N_REFINE:
                         kk = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
                         act_r = ((k_end - 1 - l) >= 0) & stopped
-                        p_ad = _gather_refine(rprob, stop_row, kk, msb)
+                        if sym_cnt:
+                            cr = rtab[li, stop_row, kk, msb]
+                            p_ad = jnp.clip(
+                                (rans_bin.PROB_MAX * cr[:, 1])
+                                // (cr[:, 0] + cr[:, 1]),
+                                1, rans_bin.PROB_MAX - 1,
+                            )
+                        else:
+                            p_ad = _gather_refine(rprob, stop_row, kk, msb)
                     else:
                         act_r = jnp.zeros((lanes,), bool)
                         p_ad = jnp.full(
@@ -1174,6 +1332,10 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                         states, ptrs, l_u + l, p1, act_r | escaped, base
                     )
                     kkc = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
+                    if sym_cnt and l < zcodec3.N_REFINE:
+                        rtab = rtab.at[li, stop_row, kkc, msb, b].add(
+                            act_r.astype(jnp.int32)
+                        )
                     z = jnp.where(act_r, z + (b << kkc), z)
                     z = jnp.where(
                         escaped, z + (b << (zcodec3.ESCAPE_BITS - 1 - l)), z
@@ -1192,10 +1354,13 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 x = ctx_ops.residual_unfold(y, pxc, sign, near)
                 err2 = jnp.clip(x - px0, -MAX_PX_INC, MAX_PX_INC)
 
-                # AVP update (s_curr proxy = simple-predictor error)
-                e_acc, b_row = _pixel_update(
-                    x, px_s, feats, stats, e_acc, b_row, j, ab, n
-                )
+                if not seg_stats:
+                    # AVP update (s_curr proxy = simple-predictor error);
+                    # the seg_stats path folds the whole segment's
+                    # moments vectorized after the walk instead
+                    e_acc, b_row = _pixel_update(
+                        x, px_s, feats, stats, e_acc, b_row, j, ab, n
+                    )
 
                 # advance the rotated layout to the next pixel's base
                 # (l_tot mod N_PHASE per pixel — a static concat)
@@ -1208,31 +1373,81 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                     )
 
                 regs = slide_window(regs, x, i, j, prev1, prev2, w)
+                outs = (x, y, z, qu, qv, qw, key, adr, px0)
+                if seg_stats:
+                    outs = outs + (px_s, feats)
                 return (
-                    (regs, err2, e_acc, b_row, states, ptrs),
-                    (x, y, z, qu, qv, qw, key, adr, px0),
+                    (regs, err2, e_acc, b_row, states, ptrs, utab, rtab),
+                    outs,
                 )
 
             col_xs = j0 + jnp.arange(ws, dtype=jnp.int32)
             if seg_stats:
                 col_xs = (col_xs, e_lag, diag_x, num_x, ok_x)
-            (regs, err, e_acc, b_row, states, ptrs), cols = jax.lax.scan(
+            (
+                (regs, err, e_acc, b_row, states, ptrs, utab, rtab),
+                cols,
+            ) = jax.lax.scan(
                 col_body,
-                (regs, err, e_acc, b_row, states, ptrs),
+                (regs, err, e_acc, b_row, states, ptrs, utab, rtab),
                 col_xs,
             )
             x_c, y_c, z_c, qu_c, qv_c, qw_c, key_c, adr_c, px0_c = [
-                jnp.moveaxis(v, 0, 1) for v in cols
+                jnp.moveaxis(v, 0, 1) for v in cols[:9]
             ]
+            if seg_stats:
+                # fold the segment's AVP moments, vectorized (the exact
+                # per-column twin of _pixel_update, columns ascending)
+                px_s_c = jnp.moveaxis(cols[9], 0, 1)    # (lanes, ws)
+                feats_c = cols[10]                       # (ws, n, lanes)
+                x64 = x_c.astype(jnp.int64)
+                s_curr = (
+                    jnp.abs(x64 - px_s_c.astype(jnp.int64)) << pavp.FB1
+                )
+                e0f = stats_seg[:, 0, :]                 # (ws, lanes)
+                s_sum = e0f.T + pavp.tdiv(
+                    s_curr * pavp.BETA, jnp.int64(pavp.BETA - 1)
+                )
+                p_ord = lambda a: a.T.reshape(-1)        # P = k*lanes+lane
+                contrib = pavp.contributions(
+                    p_ord(x64),
+                    feats_c.transpose(1, 0, 2).reshape(n, -1),
+                    p_ord(s_curr), p_ord(s_sum), n,
+                )  # (m, ws*lanes)
+                contrib = contrib.reshape(m, ws, lanes).transpose(0, 2, 1)
+                b_seg = jax.lax.dynamic_slice_in_dim(b_row, j0, ws, axis=2)
+                b_new = (
+                    pavp.tdiv(b_seg * (ab[..., None] - 1)
+                              + (ab[..., None] >> 1), ab[..., None])
+                    + contrib
+                )
+                b_row = jax.lax.dynamic_update_slice_in_dim(
+                    b_row, b_new, j0, axis=2
+                )
+
+                def estep(e, bcol):
+                    return pavp.tdiv(
+                        e * (ab - 1) + (ab >> 1), ab
+                    ) + bcol, None
+
+                e_acc, _ = jax.lax.scan(
+                    estep, e_acc, jnp.moveaxis(b_new, 2, 0)
+                )
             # state replay for this segment, exactly as the encoder's
             # _code_impl (z was decoded, so no mapper lookup is needed)
-            unary, refine, row_end, k_end, escaped = _code_events(
-                z_c, qu_c, qv_c, k_step, l_u
-            )
-            utab, rtab = coder3.row_updates(
-                utab, rtab, qw_c, unary, refine, row_end, k_end, k_step,
-                l_u,
-            )
+            if sym_cnt:
+                # the walk already accumulated every increment; only the
+                # boundary halving remains (row_updates' tail)
+                utab = coder3.halve_pairs(utab, coder3.CNT_HALVE)
+                rtab = coder3.halve_pairs(rtab, coder3.CNT_HALVE)
+            else:
+                unary, refine, row_end, k_end, escaped = _code_events(
+                    z_c, qu_c, qv_c, k_step, l_u
+                )
+                utab, rtab = coder3.row_updates(
+                    utab, rtab, qw_c, unary, refine, row_end, k_end,
+                    k_step, l_u,
+                )
             if seg_map:
                 mhist = coder3.mapper_updates(
                     mhist, img_of_lane, key_c, y_c, tune.map_bump,

@@ -165,6 +165,10 @@ def test_segment_adaptation_roundtrip(kodak_crop, monkeypatch):
         # the segment's ridge solves off the per-pixel critical path)
         strips.TUNE_V2._replace(n_seg=4, seg_bias=1, seg_map=1,
                                 seg_stats=1),
+        # per-symbol counters (prefix-sum probabilities in the encoder,
+        # live-counter walk in the decoder)
+        strips.TUNE_V2._replace(n_seg=4, seg_bias=1, seg_map=1,
+                                sym_cnt=1),
     ]
     img = kodak_crop[:48, :64]
     for tune in variants:
