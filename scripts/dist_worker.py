@@ -97,7 +97,7 @@ def main() -> int:
     xs = jax.make_array_from_single_device_arrays(stack.shape, sh, arrs)
     with jax.enable_x64():
         planes = strips._model_batch_jit(
-            xs.astype(np.int32), strips.AVP_N, False
+            xs.astype(np.int32), strips.AVP_N, False, 0
         )
         lens_d, flats_d = strips._code_batch_jit(*planes, strips.TUNE)
     # fetch only this process's shards and assemble its containers
