@@ -10,7 +10,7 @@ Extra fields: decode throughput, bits-per-pixel vs the reference efforts,
 profile-3 (ratio flagship) e2e + marginal device numbers, round-trip
 validity, and the measured tunnel link floors.
 
-An internal wall-clock budget (NBLIC_BENCH_BUDGET_S, default 1080 s)
+An internal wall-clock budget (NBLIC_BENCH_BUDGET_S, default 2400 s)
 gates each leg: when the budget is near, remaining legs are skipped and
 whatever is measured has already been printed.  Legs are ordered so the
 headline and the ratio-flagship numbers land first.
@@ -38,7 +38,7 @@ KODAK = Path("/root/reference/img_kodak")
 BASELINE_E1_ENC_MPIX_S = 5.1  # BASELINE.md: reproduced single-core C at -e1
 REF_BPP = {"e0": 4.227, "e1": 4.146, "e2": 4.088, "e3": 4.066}
 T_START = time.perf_counter()
-BUDGET_S = float(os.environ.get("NBLIC_BENCH_BUDGET_S", "1080"))
+BUDGET_S = float(os.environ.get("NBLIC_BENCH_BUDGET_S", "2400"))
 REPS = 3  # median-of-3 for the e2e timings
 
 
@@ -485,8 +485,6 @@ def main() -> int:
             all(np.array_equal(d, im) for im, d in zip(imgs[:6], decs))
         )
 
-    run_leg("p3_serving", 240, leg_p3_serving)
-
     # ---- leg 7: marginal device decode (profile 1, Mosaic kernel) ----
     def leg_device_decode():
         from nblic_tpu.ops import pallas_decode
@@ -540,6 +538,8 @@ def main() -> int:
         result["device_decode_mpix_s"] = round(px_dev / dev_t / 1e6, 2)
 
     run_leg("device_decode", 120, leg_device_decode)
+
+    run_leg("p3_serving", 240, leg_p3_serving)
 
     emit()
     ok = result.get("lossless_roundtrip_ok", False) and result.get(

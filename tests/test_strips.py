@@ -88,6 +88,20 @@ def test_mini_corpus_bpp_ratchet():
         assert np.array_equal(d, im)
 
 
+def test_flagship_contract_bits_bar():
+    """Flagship-contract bits bar on a deep strip of a real image.
+
+    kodak05's left 256 columns at th=256 (one 768x256 portrait plane,
+    three strips) exercises the full default contract — segment-adaptive
+    counters+bias+mapper at the shipped tune.  Measured 72952 bytes
+    (4.4526 bpp) at the round-4 defaults; the bar is ~1.5% above.  The
+    whole-corpus flagship point (th=768) is tracked by the bench
+    (p3_bpp); this bar catches contract regressions in-suite."""
+    img = imageio.load_image("/root/reference/img_kodak/05.bmp")[:, :256]
+    s = strips.encode(img, th=256)
+    assert len(s) < 74050, f"flagship-contract bits regressed: {len(s)}"
+
+
 def test_near_roundtrip_contract(kodak_crop):
     """Near-lossless: max per-pixel error <= near, same contract as the
     reference (mapXtoY/mapYtoX, NBLIC.c:431-466), decoded via magic sniff."""
