@@ -126,7 +126,7 @@ def test_near_batch_matches_single(kodak_crop):
 
 def test_near_tall_strip_chunked(kodak_crop, monkeypatch):
     """Tall near strips encode as several bounded chunk programs with a
-    threaded carry (_encode_near_tall); the chunked split is bit-exact vs
+    threaded carry (_encode_near_multi); the chunked split is bit-exact vs
     the single-program path and round-trips."""
     img = kodak_crop[:48, :24]
     single = strips.encode(img, th=48, near=2)
