@@ -541,6 +541,28 @@ def main() -> int:
 
     run_leg("p3_serving", 240, leg_p3_serving)
 
+    # ---- leg 9: max-ratio tune (per-symbol counters) corpus bpp ----
+    # sym_cnt wins on all 24 Kodak images (docs/p3_kodak24.txt); this is
+    # the framework's best ratio point, traded against encode/decode time.
+    def leg_p3_max():
+        old_tune = strips.TUNE
+        try:
+            strips.TUNE = strips.TUNE_V3._replace(sym_cnt=1)
+            gs = [imgs[i : i + 6] for i in range(0, len(imgs), 6)]
+            mstreams = [s for ss in strips.encode_batches(gs) for s in ss]
+        finally:
+            strips.TUNE = old_tune
+        result["p3_max_bpp"] = round(
+            8.0 * sum(len(s) for s in mstreams) / n_px, 4
+        )
+        emit()
+        decs = strips.decode_batch(mstreams[:6])
+        result["p3_max_roundtrip_ok"] = bool(
+            all(np.array_equal(d, im) for im, d in zip(imgs[:6], decs))
+        )
+
+    run_leg("p3_max", 180, leg_p3_max)
+
     emit()
     ok = result.get("lossless_roundtrip_ok", False) and result.get(
         "p3_roundtrip_ok", True
