@@ -84,9 +84,9 @@ class Tune(NamedTuple):
     """Replay-contract constants — SERIALIZED in every new container.
 
     These govern the adaptive-state transitions the decoder replays.  New
-    containers carry all five constants in a 10-byte block after the
-    header (tile_w bit 2; utils/container.py), so decode never consults
-    process state.  Legacy containers without the block map their version
+    containers carry all ten constants in a 20-byte block (10 little-endian
+    u16, field order below) after the header (tile_w bit 2;
+    utils/container.py), so decode never consults process state.  Legacy containers without the block map their version
     bit (tile_w bit 1) to the fixed named sets: TUNE_V1 is the original
     profile-3 contract, TUNE_V2 the Kodak-swept one (4.0898 vs 4.1003 bpp
     at th=512).  Env overrides exist for scripts/p3_sweep.py experiments
@@ -126,6 +126,33 @@ class Tune(NamedTuple):
         return cls(
             *(int(v) for v in np.frombuffer(data[: cls.SIZE], dtype="<u2"))
         )
+
+    def validate(self) -> "Tune":
+        """Range-check deserialized replay constants.
+
+        A hostile or corrupt tune block must fail with a clean ValueError
+        before any tracing: ``n_unary`` drives Python-level loop unrolling
+        in both encode and decode, ``n_seg`` a scan length, and the decay
+        constants the table transitions — out-of-range values would demand
+        a gigantic trace/compile instead of an error.  Bounds cover every
+        swept contract (docs/p3_kodak24.txt) with headroom."""
+        ok = (
+            1 <= self.bias_cap
+            and 1 <= self.map_bump <= 4096
+            and 1 <= self.map_halve
+            and 1 <= self.n_unary <= 20
+            and self.bias_shrink <= 4096
+            and 1 <= self.n_seg <= 4096
+            and self.seg_bias in (0, 1)
+            and self.seg_map in (0, 1)
+            and self.seg_stats in (0, 1)
+            and self.sym_cnt in (0, 1)
+        )
+        if not ok:
+            raise ValueError(
+                f"invalid profile-3 tune block: {tuple(self)}"
+            )
+        return self
 
 
 TUNE_V1 = Tune(2048, 4, 4096, 9, 0, 1, 0, 0, 0, 0)
@@ -894,6 +921,7 @@ def _container(lengths, words, h0, w0, s, th, transposed,
                near: int = 0, tune: Tune = TUNE) -> bytes:
     # bias_len == 0 marks the row-adaptive bias (nothing transmitted);
     # legacy containers carry a zlib'd static table there and still decode
+    tune.validate()  # never emit a container our own _parse would reject
     n_states = s * N_PHASE
     lengths = np.asarray(lengths, np.uint32)
     hdr = NbtcHeader(
@@ -903,7 +931,7 @@ def _container(lengths, words, h0, w0, s, th, transposed,
         width=w0,
         tile_h=th,
         # bit 0: transposed; bit 1: legacy tune-version bit; bit 2: the
-        # 10-byte serialized Tune block follows the header (all new
+        # 20-byte serialized Tune block follows the header (all new
         # containers); bits 4+: AVP feature count (utils/container.py)
         tile_w=int(transposed) | (2 * (tune != TUNE_V1)) | 4 | (AVP_N << 4),
         n_tiles=s,
@@ -1080,7 +1108,7 @@ def _decode_carry_init(smat, n_imgs: int, s: int, w: int, n_feat: int,
 
 def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 n_imgs: int, adaptive: bool = True, n_feat: int = AVP_N,
-                near: int = 0, tune: Tune = TUNE):
+                near: int = 0, tune: Tune = TUNE, _ablate: tuple = ()):
     """Lockstep decode of ``rows`` rows starting at absolute row ``i0``.
 
     Lanes = n_imgs * s strips; mirrors the encode coding scan.  The scan
@@ -1114,6 +1142,15 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
     sym_cnt = bool(tune.sym_cnt)
     wmax = smat.shape[-1]
     words_flat = smat.reshape(lanes, N_PHASE * wmax)
+    # ``_ablate``: profiling-only switches (scripts/profile_p3_decode.py)
+    # that void the output to isolate critical-path components; never set
+    # in any production path
+    ab_avp = "avp" in _ablate        # skip int64 AVP predict/update
+    ab_fetch = "fetch" in _ablate    # skip the per-bin stream-word gather
+    ab_unary = "unary" in _ablate    # skip the unary bin walk
+    ab_refine = "refine" in _ablate  # skip refine/escape bins
+    ab_mapper = "mapper" in _ablate  # skip the mapper gathers
+    ab_bias = "bias" in _ablate      # skip the bias gather
 
     # The rANS states/ptrs are walked in a ROTATED (virtual-phase) layout
     # inside this program: pixel ap's slot l lives at physical phase
@@ -1154,9 +1191,12 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
             need = st2 < rans_bin.ANS_LOW
             phys = (base + slot_l) % N_PHASE
             idx = phys * wmax + jnp.minimum(pt, wmax - 1)
-            nxt = jnp.take_along_axis(
-                words_flat, idx[:, None], axis=1
-            )[:, 0]
+            if ab_fetch:
+                nxt = jnp.full_like(pt, 0x8000)
+            else:
+                nxt = jnp.take_along_axis(
+                    words_flat, idx[:, None], axis=1
+                )[:, 0]
             st2 = jnp.where(
                 need,
                 (st2 << rans_bin.ANS_BITS) | nxt.astype(jnp.uint32),
@@ -1191,7 +1231,7 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 order_l = jnp.take(order, img_of_lane, axis=0)
             else:
                 order_l = order_row
-            if seg_stats:
+            if seg_stats and not ab_avp:
                 # seg_stats contract: solves use E frozen at the segment
                 # start, decay-extended (pavp.e_freeze_extend's twin);
                 # the true e_acc still threads through for the next
@@ -1233,14 +1273,20 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 (regs, err, e_acc, b_row, states, ptrs, utab,
                  rtab) = ccarry
                 li = jnp.arange(lanes)
-                if seg_stats:
+                if seg_stats and not ab_avp:
                     # fast path: prediction from the presolved system
                     j, e_use, diag_k, num_k, ok_k = col_in
                     nb, px_s, feats = _pixel_taps(regs, prev1, i, j, w, n)
                     stats = e_use + f_row[:, :, j]
-                    px0 = _pixel_px0_from_solve(
+                    px0 = (px_s if ab_avp else _pixel_px0_from_solve(
                         diag_k, num_k, ok_k, feats, px_s
-                    )
+                    ))
+                    qu, qv, qw, adr = _pixel_ctx(nb, err, px0)
+                elif ab_avp:
+                    j = col_in
+                    nb, px_s, feats = _pixel_taps(regs, prev1, i, j, w, n)
+                    stats = e_acc
+                    px0 = px_s
                     qu, qv, qw, adr = _pixel_ctx(nb, err, px0)
                 else:
                     j = col_in
@@ -1250,9 +1296,12 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                             w, n,
                         )
                     )
-                bias = jnp.take_along_axis(
-                    btab_b, adr.reshape(n_imgs, s), axis=1
-                ).reshape(lanes)
+                if ab_bias:
+                    bias = jnp.zeros((lanes,), jnp.int32)
+                else:
+                    bias = jnp.take_along_axis(
+                        btab_b, adr.reshape(n_imgs, s), axis=1
+                    ).reshape(lanes)
                 sign, pxc, key = _pixel_correct(px0, bias)
                 base = ((i * w + j) * l_tot) % N_PHASE
 
@@ -1262,7 +1311,7 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 stop_row = jnp.zeros((lanes,), jnp.int32)
                 stopped = jnp.zeros((lanes,), bool)
                 stop_layer = jnp.zeros((lanes,), jnp.int32)
-                for l in range(l_u):
+                for l in range(0 if ab_unary else l_u):
                     ru = zcodec3.escalated_row(qu, lc.esc_counts[l], k_step)
                     rv = zcodec3.escalated_row(qv2, lc.esc_counts[l], k_step)
                     if sym_cnt:
@@ -1309,7 +1358,7 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
 
                 # refine / escape
                 msb = jnp.zeros((lanes,), jnp.int32)
-                for l in range(L_R):
+                for l in range(0 if ab_refine else L_R):
                     if l < zcodec3.N_REFINE:
                         kk = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
                         act_r = ((k_end - 1 - l) >= 0) & stopped
@@ -1343,18 +1392,21 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                     msb = jnp.where(act_r & (b == 1) & (msb == 0), 1, msb)
 
                 # pixel reconstruction
-                zc = jnp.clip(z, 0, coder3.N_MAP - 1)
-                per_key = jnp.take_along_axis(
-                    order_l, key[:, None, None], axis=1
-                )[:, 0]
-                y_small = jnp.take_along_axis(
-                    per_key, zc[:, None], axis=1
-                )[:, 0]
-                y = jnp.where(z < coder3.N_MAP, y_small, z)
+                if ab_mapper:
+                    y = z
+                else:
+                    zc = jnp.clip(z, 0, coder3.N_MAP - 1)
+                    per_key = jnp.take_along_axis(
+                        order_l, key[:, None, None], axis=1
+                    )[:, 0]
+                    y_small = jnp.take_along_axis(
+                        per_key, zc[:, None], axis=1
+                    )[:, 0]
+                    y = jnp.where(z < coder3.N_MAP, y_small, z)
                 x = ctx_ops.residual_unfold(y, pxc, sign, near)
                 err2 = jnp.clip(x - px0, -MAX_PX_INC, MAX_PX_INC)
 
-                if not seg_stats:
+                if not seg_stats and not ab_avp:
                     # AVP update (s_curr proxy = simple-predictor error);
                     # the seg_stats path folds the whole segment's
                     # moments vectorized after the walk instead
@@ -1374,7 +1426,7 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
 
                 regs = slide_window(regs, x, i, j, prev1, prev2, w)
                 outs = (x, y, z, qu, qv, qw, key, adr, px0)
-                if seg_stats:
+                if seg_stats and not ab_avp:
                     outs = outs + (px_s, feats)
                 return (
                     (regs, err2, e_acc, b_row, states, ptrs, utab, rtab),
@@ -1382,7 +1434,7 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 )
 
             col_xs = j0 + jnp.arange(ws, dtype=jnp.int32)
-            if seg_stats:
+            if seg_stats and not ab_avp:
                 col_xs = (col_xs, e_lag, diag_x, num_x, ok_x)
             (
                 (regs, err, e_acc, b_row, states, ptrs, utab, rtab),
@@ -1395,7 +1447,7 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
             x_c, y_c, z_c, qu_c, qv_c, qw_c, key_c, adr_c, px0_c = [
                 jnp.moveaxis(v, 0, 1) for v in cols[:9]
             ]
-            if seg_stats:
+            if seg_stats and not ab_avp:
                 # fold the segment's AVP moments, vectorized (the exact
                 # per-column twin of _pixel_update, columns ascending)
                 px_s_c = jnp.moveaxis(cols[9], 0, 1)    # (lanes, ws)
@@ -1534,7 +1586,7 @@ def _gather_refine(rprob, row, kk, msb):
 
 
 _decode_seg_jit = jax.jit(
-    _decode_seg, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11)
+    _decode_seg, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12)
 )
 
 # rows per decode program: bounds single-program execution time (the
@@ -1574,10 +1626,15 @@ def _parse(stream: bytes):
     check_size(hdr.height, hdr.width)
     pos = NbtcHeader.SIZE
     if hdr.tile_w & 4:  # serialized replay-contract constants (new format)
-        tune = Tune.from_bytes(stream[pos : pos + Tune.SIZE])
+        tune = Tune.from_bytes(stream[pos : pos + Tune.SIZE]).validate()
         pos += Tune.SIZE
     else:  # legacy: version bit selects a fixed named set
         tune = TUNE_V2 if hdr.tile_w & 2 else TUNE_V1
+    # strip-geometry consistency (corrupt headers must fail cleanly, not
+    # drive a huge allocation: n_tiles*tile_h*width is the decode plane)
+    hh = hdr.width if hdr.tile_w & 1 else hdr.height
+    if hdr.tile_h < 1 or hdr.n_tiles != -(-hh // hdr.tile_h):
+        raise ValueError("inconsistent profile-3 strip geometry")
     if hdr.bias_len:  # legacy transmitted static-bias table
         bias = np.frombuffer(
             zlib.decompress(stream[pos : pos + hdr.bias_len]), dtype=np.int16
@@ -1589,8 +1646,17 @@ def _parse(stream: bytes):
     lengths = np.frombuffer(
         stream[pos : pos + 4 * n_states], dtype="<u4"
     ).astype(np.int64)
+    if lengths.size != n_states:
+        raise ValueError("truncated profile-3 length table")
     pos += 4 * n_states
-    payload = np.frombuffer(stream, dtype=np.uint16, offset=pos)
+    rem = len(stream) - pos
+    payload = np.frombuffer(stream, dtype=np.uint16, offset=pos,
+                            count=rem // 2)
+    # each stream starts with two state words; the length table must fit
+    # the payload (a corrupt u32 length would otherwise size the decode
+    # matrix — an allocation bomb, not just garbage pixels)
+    if (lengths < 2).any() or int(lengths.sum()) > payload.size:
+        raise ValueError("invalid profile-3 stream lengths")
     n_feat = (hdr.tile_w >> 4) or 6  # pre-AVP_N containers used 6 features
     geom = (hdr.height, hdr.width, hdr.n_tiles, hdr.tile_h,
             bool(hdr.tile_w & 1), n_feat, hdr.near, tune)
@@ -1624,6 +1690,13 @@ def decode_batch(streams: list[bytes]) -> list[np.ndarray]:
         return [decode(x) for x in streams]
     s, th, ww, n_feat, near, tune = plane_geom(parsed[0][0])
     n_imgs = len(streams)
+    if n_imgs * s == 1 and jax.default_backend() == "tpu":
+        # 1-lane per-pixel decode programs reproducibly crash the tunnel
+        # TPU worker (platform fault: the identical stream decodes exactly
+        # at >= 2 lanes — docs/validation_r5.txt; same failure class as the
+        # 1-lane near-encode chunks, memory/axon-tpu-platform-quirks).
+        # Pad the batch with a twin lane and keep the first output.
+        return decode_batch([streams[0], streams[0]])[:1]
     wmax = max(2, max(int(p[2].max()) for p in parsed))
     wmax = -(-wmax // 64) * 64
     smat = np.concatenate(

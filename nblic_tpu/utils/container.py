@@ -115,10 +115,10 @@ class NbtcHeader:
       tile_w  = bit 0: image stored transposed | bit 1: tuned replay
                 contract (legacy version bit: models/strips.TUNE_V2
                 adaptation constants + 13-layer unary budget; 0 = the
-                original TUNE_V1 set) | bit 2: a 12-byte serialized Tune
-                block (6 little-endian u16: bias_cap, map_bump, map_halve,
-                n_unary, bias_shrink, n_seg — models/strips.Tune)
-                immediately
+                original TUNE_V1 set) | bit 2: a 20-byte serialized Tune
+                block (10 little-endian u16: bias_cap, map_bump, map_halve,
+                n_unary, bias_shrink, n_seg, seg_bias, seg_map, seg_stats,
+                sym_cnt — models/strips.Tune) immediately
                 follows the header, making the replay contract fully
                 self-describing (decode never consults process state; all
                 new containers set this) | bits 4+: AVP feature count

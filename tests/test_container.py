@@ -25,6 +25,44 @@ def test_nbtc_header_roundtrip():
     assert container.NbtcHeader.from_bytes(h.to_bytes()) == h
 
 
+def test_p3_tune_block_layout():
+    # golden byte layout of the profile-3 replay-contract block: 10
+    # little-endian u16 in declared field order, 20 bytes total
+    from nblic_tpu.models.strips import TUNE_V3, Tune
+
+    assert Tune.SIZE == 20
+    t = Tune(256, 2, 256, 13, 48, 32, 1, 1, 0, 0)
+    data = t.to_bytes()
+    assert len(data) == Tune.SIZE
+    assert data == bytes.fromhex(
+        "0001 0200 0001 0d00 3000 2000 0100 0100 0000 0000".replace(" ", "")
+    )
+    assert Tune.from_bytes(data) == t
+    assert t == TUNE_V3
+    t.validate()
+
+
+def test_p3_tune_validation():
+    from nblic_tpu.models.strips import TUNE_V1, TUNE_V2, TUNE_V3S, Tune
+
+    for good in (TUNE_V1, TUNE_V2, TUNE_V3S):
+        good.validate()
+    for bad in (
+        TUNE_V1._replace(n_unary=0),
+        TUNE_V1._replace(n_unary=0xFFFF),   # Python-loop-unroll bomb
+        TUNE_V1._replace(map_halve=0),
+        TUNE_V1._replace(bias_cap=0),
+        TUNE_V1._replace(n_seg=0),
+        TUNE_V1._replace(n_seg=0xFFFF),
+        TUNE_V1._replace(seg_bias=7),
+        TUNE_V1._replace(sym_cnt=2),
+    ):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            bad.validate()
+
+
 def test_sniff():
     assert container.sniff_format(b"Q0.2xxxx") == "qnblic"
     assert container.sniff_format(b"NBLIC0.3xxxxxxx") == "nblic"

@@ -10,7 +10,8 @@ import numpy as np
 import pytest
 
 from nblic_tpu import api, runtime
-from nblic_tpu.models import tiled
+from nblic_tpu.models import strips, tiled
+from nblic_tpu.utils.container import NbtcHeader
 
 
 @pytest.fixture(scope="module")
@@ -22,6 +23,14 @@ def good_streams(rng_mod):
         "n": api.compress(img, near=0, effort=1),
         "t": tiled.encode(img, tile_h=16, tile_w=16),
     }
+
+
+@pytest.fixture(scope="module")
+def good_p3(rng_mod):
+    # smooth small image: tiny programs, fast CPU compile
+    base = np.arange(48)[:, None] * 2 + np.arange(40)[None, :]
+    img = (base + rng_mod.integers(0, 8, size=(48, 40))).astype(np.uint8)
+    return {"img": img, "p": strips.encode(img, th=16)}
 
 
 @pytest.fixture(scope="module")
@@ -76,6 +85,62 @@ def test_header_dimension_bombs_rejected(good_streams):
     s[9:13] = (0xFF, 0xFF, 0xFF, 0xFF)  # height/width big-endian max
     with pytest.raises((ValueError, RuntimeError)):
         api.decompress(bytes(s))
+
+
+def test_p3_truncated_header_raises(good_p3):
+    s = good_p3["p"]
+    for cut in (1, 8, NbtcHeader.SIZE, NbtcHeader.SIZE + 4):
+        with pytest.raises((ValueError, RuntimeError)):
+            api.decompress(s[:cut])
+
+
+def test_p3_truncated_payload_rejected(good_p3):
+    # the length table no longer fits the payload -> clean error, no
+    # device program is traced
+    s = good_p3["p"]
+    with pytest.raises((ValueError, RuntimeError)):
+        api.decompress(s[: int(len(s) * 0.7)])
+
+
+def test_p3_hostile_tune_rejected(good_p3):
+    s = bytearray(good_p3["p"])
+    pos = NbtcHeader.SIZE
+    # n_unary (field 3, u16 at offset 6) = 0xFFFF: would unroll a
+    # 65535-layer Python loop into the decode trace if trusted
+    s[pos + 6 : pos + 8] = b"\xFF\xFF"
+    with pytest.raises(ValueError):
+        api.decompress(bytes(s))
+    s = bytearray(good_p3["p"])
+    s[pos + 12 : pos + 14] = b"\x07\x00"  # seg_bias = 7 (flag must be 0/1)
+    with pytest.raises(ValueError):
+        api.decompress(bytes(s))
+
+
+def test_p3_dimension_bomb_rejected(good_p3):
+    s = bytearray(good_p3["p"])
+    # height u32 at offset 12 (magic 8 + flags 2 + profile 1 + near 1)
+    s[12:16] = b"\xFF\xFF\xFF\xFF"
+    with pytest.raises((ValueError, RuntimeError)):
+        api.decompress(bytes(s))
+    s = bytearray(good_p3["p"])
+    # n_tiles u32 at offset 24: inconsistent with height/tile_h
+    s[24:28] = b"\x00\x10\x00\x00"
+    with pytest.raises((ValueError, RuntimeError)):
+        api.decompress(bytes(s))
+
+
+def test_p3_flipped_payload_bytes_no_crash(good_p3, rng_mod):
+    img = good_p3["img"]
+    s = bytearray(good_p3["p"])
+    for _ in range(8):
+        pos = rng_mod.integers(len(s) // 2, len(s))
+        s[pos] ^= 0xFF
+    try:
+        out = api.decompress(bytes(s))
+        # garbage is acceptable; crashes / wrong shapes are not
+        assert out.shape == img.shape
+    except (ValueError, RuntimeError):
+        pass
 
 
 def test_native_runtime_bounds(good_streams):
