@@ -269,8 +269,10 @@ def main() -> int:
             def body(_, acc):
                 x = xs ^ (acc & 1)
                 planes = jax.vmap(
-                    strips._model_planes, in_axes=(0, None, None, None)
-                )(x, strips.AVP_N, False, 0)
+                    strips._model_planes,
+                    in_axes=(0, None, None, None, None, None),
+                )(x, strips.AVP_N, False, 0, bool(strips.TUNE.mix_e),
+                  bool(strips.TUNE.w_pred))
                 return planes[1].reshape(-1)[:1]
 
             return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.int32))
@@ -300,7 +302,10 @@ def main() -> int:
 
         with jax.enable_x64():
             t_model = marginal(lambda n: np.asarray(p3_model_loop(xs6, n)))
-            planes6 = strips._model_batch_jit(xs6, strips.AVP_N, False, 0)
+            planes6 = strips._model_batch_jit(
+                xs6, strips.AVP_N, False, 0, bool(strips.TUNE.mix_e),
+                bool(strips.TUNE.w_pred),
+            )
             acc0 = jnp.zeros((1,), jnp.int32)
             t_code = marginal(
                 lambda n: np.asarray(p3_code_loop(*planes6, acc0, n))
@@ -418,7 +423,7 @@ def main() -> int:
 
         old_tune = strips.TUNE
         try:
-            strips.TUNE = strips.TUNE_V3S
+            strips.TUNE = strips.TUNE_V4S
             gs = [imgs[i : i + 6] for i in range(0, len(imgs), 6)]
             sstreams = [s for ss in strips.encode_batches(gs) for s in ss]
         finally:
@@ -547,7 +552,7 @@ def main() -> int:
     def leg_p3_max():
         old_tune = strips.TUNE
         try:
-            strips.TUNE = strips.TUNE_V3._replace(sym_cnt=1)
+            strips.TUNE = strips.TUNE_MAX
             gs = [imgs[i : i + 6] for i in range(0, len(imgs), 6)]
             mstreams = [s for ss in strips.encode_batches(gs) for s in ss]
         finally:

@@ -84,9 +84,10 @@ class Tune(NamedTuple):
     """Replay-contract constants — SERIALIZED in every new container.
 
     These govern the adaptive-state transitions the decoder replays.  New
-    containers carry all ten constants in a 20-byte block (10 little-endian
-    u16, field order below) after the header (tile_w bit 2;
-    utils/container.py), so decode never consults process state.  Legacy containers without the block map their version
+    containers carry all 16 constants in a 32-byte block (16 little-endian
+    u16, field order below) after the header (tile_w bits 2+3;
+    utils/container.py; round-4 containers carry the first 10 fields as a
+    20-byte block, bit 3 clear), so decode never consults process state.  Legacy containers without the block map their version
     bit (tile_w bit 1) to the fixed named sets: TUNE_V1 is the original
     profile-3 contract, TUNE_V2 the Kodak-swept one (4.0898 vs 4.1003 bpp
     at th=512).  Env overrides exist for scripts/p3_sweep.py experiments
@@ -113,18 +114,36 @@ class Tune(NamedTuple):
                         # cell (exact prefix sums in the parallel encoder;
                         # the reference adapts per symbol, NBLIC.c:595-618;
                         # halving stays at segment boundaries)
+    # --- extended (v2) block fields: tile_w bit 3 marks a 32-byte block;
+    # legacy 20-byte blocks (bit 3 clear) parse with these defaults ---
+    cnt_init: int = 32     # unary/refine counter pair init (CNT_INIT)
+    cnt_halve: int = 8192  # counter halving threshold (CNT_HALVE,
+                           # N_QW*MAX_COUNTER semantics, NBLIC.c:612)
+    mix_e: int = 0      # predictor mixing: blend AVP and simple
+                        # predictions by causal decayed |err| energies
+                        # (two extra B/E/F chain channels) instead of the
+                        # hard singular-fallback
+    sym_bias: int = 0   # per-symbol context-bias reads inside segments
+                        # (prefix contributions in the parallel encoder,
+                        # live per-pixel moment updates in the decoder)
+    w_pred: int = 0     # division-free prediction: per-column quantized
+                        # int32 weights precomputed at the batched
+                        # seg_stats solve (requires seg_stats)
+    spare: int = 0      # reserved, must be 0
 
-    SIZE = 20  # serialized: 10 little-endian u16
+    SIZE = 20   # legacy serialized block: first 10 fields as LE u16
+    SIZE2 = 32  # extended serialized block: all 16 fields as LE u16
 
     def to_bytes(self) -> bytes:
         return np.asarray(self, dtype="<u2").tobytes()
 
     @classmethod
-    def from_bytes(cls, data: bytes) -> "Tune":
-        if len(data) < cls.SIZE:
+    def from_bytes(cls, data: bytes, extended: bool = False) -> "Tune":
+        size = cls.SIZE2 if extended else cls.SIZE
+        if len(data) < size:
             raise ValueError("truncated profile-3 tune block")
         return cls(
-            *(int(v) for v in np.frombuffer(data[: cls.SIZE], dtype="<u2"))
+            *(int(v) for v in np.frombuffer(data[:size], dtype="<u2"))
         )
 
     def validate(self) -> "Tune":
@@ -147,6 +166,16 @@ class Tune(NamedTuple):
             and self.seg_map in (0, 1)
             and self.seg_stats in (0, 1)
             and self.sym_cnt in (0, 1)
+            and 1 <= self.cnt_init <= 16384
+            and 64 <= self.cnt_halve
+            and self.mix_e in (0, 1)
+            and self.sym_bias in (0, 1)
+            and self.w_pred in (0, 1)
+            and self.spare == 0
+            # undefined replay combinations (mix energies are live
+            # per-pixel state; w_pred rides the batched seg_stats solve)
+            and not (self.mix_e and self.seg_stats)
+            and not (self.w_pred and not self.seg_stats)
         )
         if not ok:
             raise ValueError(
@@ -161,24 +190,40 @@ TUNE_V2 = Tune(256, 2, 512, 13, 16, 1, 0, 0, 0, 0)
 # column segments per row, deeper bias shrink, faster mapper decay (the
 # decay optimum moves with the granularity; sweep: docs/p3_kodak24.txt)
 TUNE_V3 = Tune(256, 2, 256, 13, 48, 32, 1, 1, 0, 0)
+# round-5 flagship: V3 + squared-energy predictor mixing (mix_e) —
+# 4.0637 bpp Kodak-24, BELOW reference -e3's 4.0656 at ~2.3x its encode
+# speed (docs/p3_kodak24.txt round-5 sweeps)
+TUNE_V4 = TUNE_V3._replace(mix_e=1)
+# max-ratio contract: + per-symbol counters (4.0629 bpp, slower encode)
+TUNE_MAX = TUNE_V4._replace(sym_cnt=1)
 # serving contract: 8-column segments with segment-frozen AVP stats — the
 # decoder batches each segment's ridge solves off the per-pixel critical
 # path.  Costs ratio (lag sweep, docs/p3_kodak24.txt: ~4.083 bpp vs the
-# flagship's 4.070) but still beats reference -e2's 4.088.
+# flagship) but still beats reference -e2's 4.088.
 TUNE_V3S = TUNE_V3._replace(n_seg=64, seg_stats=1)
+# round-5 serving: + int32 quantized-weight prediction (w_pred — the
+# walk is division-free) and a 10-layer unary budget (fewer bins per
+# pixel; 4.0844 at nu10 still beats -e2, docs/p3_decode_profile_r5.txt)
+TUNE_V4S = TUNE_V3S._replace(w_pred=1, n_unary=10)
 # what new containers are encoded with (env overrides are sweep-only; the
 # chosen constants are serialized into the container either way)
 TUNE = Tune(
-    int(_os.environ.get("NBLIC_P3_BIAS_CAP", TUNE_V3.bias_cap)),
-    int(_os.environ.get("NBLIC_P3_MAP_BUMP", TUNE_V3.map_bump)),
-    int(_os.environ.get("NBLIC_P3_MAP_HALVE", TUNE_V3.map_halve)),
-    int(_os.environ.get("NBLIC_P3_N_UNARY", TUNE_V3.n_unary)),
-    int(_os.environ.get("NBLIC_P3_BIAS_SHRINK", TUNE_V3.bias_shrink)),
-    int(_os.environ.get("NBLIC_P3_N_SEG", TUNE_V3.n_seg)),
-    int(_os.environ.get("NBLIC_P3_SEG_BIAS", TUNE_V3.seg_bias)),
-    int(_os.environ.get("NBLIC_P3_SEG_MAP", TUNE_V3.seg_map)),
-    int(_os.environ.get("NBLIC_P3_SEG_STATS", TUNE_V3.seg_stats)),
-    int(_os.environ.get("NBLIC_P3_SYM_CNT", TUNE_V3.sym_cnt)),
+    int(_os.environ.get("NBLIC_P3_BIAS_CAP", TUNE_V4.bias_cap)),
+    int(_os.environ.get("NBLIC_P3_MAP_BUMP", TUNE_V4.map_bump)),
+    int(_os.environ.get("NBLIC_P3_MAP_HALVE", TUNE_V4.map_halve)),
+    int(_os.environ.get("NBLIC_P3_N_UNARY", TUNE_V4.n_unary)),
+    int(_os.environ.get("NBLIC_P3_BIAS_SHRINK", TUNE_V4.bias_shrink)),
+    int(_os.environ.get("NBLIC_P3_N_SEG", TUNE_V4.n_seg)),
+    int(_os.environ.get("NBLIC_P3_SEG_BIAS", TUNE_V4.seg_bias)),
+    int(_os.environ.get("NBLIC_P3_SEG_MAP", TUNE_V4.seg_map)),
+    int(_os.environ.get("NBLIC_P3_SEG_STATS", TUNE_V4.seg_stats)),
+    int(_os.environ.get("NBLIC_P3_SYM_CNT", TUNE_V4.sym_cnt)),
+    int(_os.environ.get("NBLIC_P3_CNT_INIT", TUNE_V4.cnt_init)),
+    int(_os.environ.get("NBLIC_P3_CNT_HALVE", TUNE_V4.cnt_halve)),
+    int(_os.environ.get("NBLIC_P3_MIX_E", TUNE_V4.mix_e)),
+    int(_os.environ.get("NBLIC_P3_SYM_BIAS", TUNE_V4.sym_bias)),
+    int(_os.environ.get("NBLIC_P3_W_PRED", TUNE_V4.w_pred)),
+    0,
 )
 
 
@@ -370,7 +415,7 @@ def _seg_slots_update(utab, rtab, z, qw_r, unary, refine, row_end, k_end,
 
     utab, rtab = coder3.row_updates(
         utab, rtab, qw_r, unary, refine, row_end, k_end, k_step,
-        tune.n_unary,
+        tune.n_unary, tune.cnt_halve,
     )
     return (
         (jnp.stack(probs), jnp.stack(bins), jnp.stack(masks)),
@@ -543,7 +588,8 @@ def _pixel_update(x, px_s, feats, stats, e_acc, b_row, j, ab, n: int):
 
 
 def _model_planes(strips, n_feat: int = AVP_N, row_frozen: bool = False,
-                  seg_w: int = 0):
+                  seg_w: int = 0, mix: bool = False,
+                  w_quant: bool = False):
     """Whole-plane modeling: AVP prediction + contexts (lossless).
 
     The context-bias correction and residual fold happen in the coding
@@ -560,7 +606,7 @@ def _model_planes(strips, n_feat: int = AVP_N, row_frozen: bool = False,
     4.1115 vs 4.1114 bpp on Kodak-24 at th=256, at 2x the encode cost.)
     """
     x = strips.astype(jnp.int32)
-    px0 = pavp.predict_plane(x, n_feat, row_frozen, seg_w)
+    px0 = pavp.predict_plane(x, n_feat, row_frozen, seg_w, mix, w_quant)
     nb = sample(x)
     err_raw = x - px0
     err_c = jnp.clip(err_raw, -MAX_PX_INC, MAX_PX_INC)
@@ -696,8 +742,8 @@ def _code_impl(x, px0, adr, qu, qv, qw, tune: Tune = TUNE):
         return (utab, rtab, mhist, bsums, bcnts), slots
 
     init = (
-        coder3.init_unary(s, n_class),
-        coder3.init_refine(s),
+        coder3.init_unary(s, n_class, tune.cnt_init),
+        coder3.init_refine(s, tune.cnt_init),
         coder3.init_mapper(1),
         jnp.zeros((Q_N_CONTEXT,), jnp.int32),
         jnp.zeros((Q_N_CONTEXT,), jnp.int32),
@@ -724,20 +770,24 @@ def _near_carry_init(n_imgs: int, s: int, w: int, near: int, n_feat: int,
                      tune: Tune):
     """Initial feedback-scan carry for the near encoder (window rows, AVP
     chains, coder tables, bias moments); lanes = n_imgs * s strips with
-    per-image mapper/bias tables."""
+    per-image mapper/bias tables.  With ``tune.mix_e`` a trailing
+    (2, lanes, w) mix-energy B chain rides the carry (as in the decoder)."""
     lanes = n_imgs * s
     m = pavp.get_m(n_feat)
     lc = zcodec3.layer_consts(_k_step(near), tune.n_unary)
-    return (
+    base = (
         jnp.zeros((lanes, w), jnp.int32),
         jnp.zeros((lanes, w), jnp.int32),
         jnp.zeros((m, lanes, w), jnp.int64),
-        coder3.init_unary(lanes, lc.n_class),
-        coder3.init_refine(lanes),
+        coder3.init_unary(lanes, lc.n_class, tune.cnt_init),
+        coder3.init_refine(lanes, tune.cnt_init),
         coder3.init_mapper(n_imgs),
         jnp.zeros((n_imgs, Q_N_CONTEXT), jnp.int32),
         jnp.zeros((n_imgs, Q_N_CONTEXT), jnp.int32),
     )
+    if tune.mix_e:
+        base = base + (jnp.zeros((2, lanes, w), jnp.int64),)
+    return base
 
 
 def _near_rows(carry, x_rows, i0, s: int, near: int, n_feat: int,
@@ -758,21 +808,48 @@ def _near_rows(carry, x_rows, i0, s: int, near: int, n_feat: int,
     n = n_feat
     m = pavp.get_m(n)
     ab = pavp._ab_vec(m)
+    mix_e = bool(tune.mix_e)
+    ab_m = pavp.mix_ab()
     x_rows = x_rows.astype(jnp.int32)
 
     def row_body(carry, inputs):
-        prev1, prev2, b_row, utab, rtab, mhist, bsums, bcnts = carry
+        if mix_e:
+            (prev1, prev2, b_row, utab, rtab, mhist, bsums, bcnts,
+             b_mix) = carry
+        else:
+            prev1, prev2, b_row, utab, rtab, mhist, bsums, bcnts = carry
         i, x_row = inputs
         btab = ctx_ops.quantize_bias(bsums, bcnts, tune.bias_shrink)
         f_row = jnp.moveaxis(pavp.f_chain(jnp.moveaxis(b_row, 2, 0)), 0, 2)
+        if mix_e:
+            f_mix = jnp.moveaxis(
+                pavp.f_chain(jnp.moveaxis(b_mix, 2, 0), ab=ab_m), 0, 2
+            )
         regs0 = row_start_window(i, prev1, prev2, w)
 
         def col_body(ccarry, inp):
-            regs, err, e_acc, b_row = ccarry
+            if mix_e:
+                regs, err, e_acc, b_row, e_mix, b_mix = ccarry
+            else:
+                regs, err, e_acc, b_row = ccarry
             j, x_col = inp
-            nb, px_s, feats, stats, px0, qu, qv, qw, adr = _pixel_features(
-                regs, prev1, err, f_row[:, :, j], e_acc, i, j, w, n
-            )
+            if mix_e:
+                # blended prediction (the decoder's mix_e twin)
+                nb, px_s, feats = _pixel_taps(regs, prev1, i, j, w, n)
+                stats = e_acc + f_row[:, :, j]
+                px_f, okk = pavp.predict_from_stats(stats, feats, n)
+                px_h = ((px_f + (1 << (pavp.FB1 - 1)))
+                        >> pavp.FB1).astype(jnp.int32)
+                px_hard = jnp.where(okk, px_h, px_s)
+                em = e_mix + f_mix[:, :, j]
+                px0 = pavp.mix_blend(px_hard, px_s, em[0], em[1], okk)
+                qu, qv, qw, adr = _pixel_ctx(nb, err, px0)
+            else:
+                nb, px_s, feats, stats, px0, qu, qv, qw, adr = (
+                    _pixel_features(
+                        regs, prev1, err, f_row[:, :, j], e_acc, i, j, w, n
+                    )
+                )
             bias = jnp.take_along_axis(
                 btab, adr.reshape(n_imgs, s), axis=1
             ).reshape(lanes)
@@ -783,18 +860,38 @@ def _near_rows(carry, x_rows, i0, s: int, near: int, n_feat: int,
             e_acc, b_row = _pixel_update(
                 xr, px_s, feats, stats, e_acc, b_row, j, ab, n
             )
+            if mix_e:
+                xr64 = xr.astype(jnp.int64)
+                c_mix = jnp.stack([
+                    jnp.abs(xr64 - px_hard.astype(jnp.int64)) << pavp.FB1,
+                    jnp.abs(xr64 - px_s.astype(jnp.int64)) << pavp.FB1,
+                ])
+                mb_col = pavp.tdiv(
+                    b_mix[:, :, j] * (ab_m - 1) + (ab_m >> 1), ab_m
+                ) + c_mix
+                e_mix = pavp.tdiv(
+                    e_mix * (ab_m - 1) + (ab_m >> 1), ab_m
+                ) + mb_col
+                b_mix = jax.lax.dynamic_update_slice_in_dim(
+                    b_mix, mb_col[:, :, None], j, 2
+                )
             regs = slide_window(regs, xr, i, j, prev1, prev2, w)
-            return (
-                (regs, err2, e_acc, b_row),
-                (xr, y, qu, qv, qw, key, adr, px0),
-            )
+            cc = (regs, err2, e_acc, b_row)
+            if mix_e:
+                cc = cc + (e_mix, b_mix)
+            return cc, (xr, y, qu, qv, qw, key, adr, px0)
 
         e0 = jnp.zeros((m, lanes), jnp.int64)
-        (_, _, _, b_row), cols = jax.lax.scan(
-            col_body,
-            (regs0, jnp.zeros((lanes,), jnp.int32), e0, b_row),
+        cc0 = (regs0, jnp.zeros((lanes,), jnp.int32), e0, b_row)
+        if mix_e:
+            cc0 = cc0 + (jnp.zeros((2, lanes), jnp.int64), b_mix)
+        cc1, cols = jax.lax.scan(
+            col_body, cc0,
             (jnp.arange(w, dtype=jnp.int32), jnp.moveaxis(x_row, 1, 0)),
         )
+        b_row = cc1[3]
+        if mix_e:
+            b_mix = cc1[5]
         xr_r, y_r, qu_r, qv_r, qw_r, key_r, adr_r, px0_r = [
             jnp.moveaxis(v, 0, 1) for v in cols
         ]
@@ -806,10 +903,10 @@ def _near_rows(carry, x_rows, i0, s: int, near: int, n_feat: int,
         bsums, bcnts = _bias_update(
             bsums, bcnts, idx, xr_r - px0_r, tune.bias_cap
         )
-        return (
-            (xr_r, prev1, b_row, utab, rtab, mhist, bsums, bcnts),
-            slots,
-        )
+        c_out = (xr_r, prev1, b_row, utab, rtab, mhist, bsums, bcnts)
+        if mix_e:
+            c_out = c_out + (b_mix,)
+        return c_out, slots
 
     return jax.lax.scan(
         row_body, carry,
@@ -860,10 +957,10 @@ def _code_near_impl(x, near: int, n_feat: int, tune: Tune = TUNE):
 # the encode runs as two device programs (modeling | coding): each compiles
 # in minutes rather than the single fused program's hours on the remote
 # TPU compiler, and both cache independently
-_model_jit = jax.jit(_model_planes, static_argnums=(1, 2, 3))
+_model_jit = jax.jit(_model_planes, static_argnums=(1, 2, 3, 4, 5))
 _model_batch_jit = jax.jit(
-    jax.vmap(_model_planes, in_axes=(0, None, None, None)),
-    static_argnums=(1, 2, 3),
+    jax.vmap(_model_planes, in_axes=(0, None, None, None, None, None)),
+    static_argnums=(1, 2, 3, 4, 5),
 )
 _code_jit = jax.jit(_code_impl, static_argnums=(6,))
 _code_batch_jit = jax.jit(
@@ -930,10 +1027,12 @@ def _container(lengths, words, h0, w0, s, th, transposed,
         height=h0,
         width=w0,
         tile_h=th,
-        # bit 0: transposed; bit 1: legacy tune-version bit; bit 2: the
-        # 20-byte serialized Tune block follows the header (all new
-        # containers); bits 4+: AVP feature count (utils/container.py)
-        tile_w=int(transposed) | (2 * (tune != TUNE_V1)) | 4 | (AVP_N << 4),
+        # bit 0: transposed; bit 1: legacy tune-version bit; bit 2: a
+        # serialized Tune block follows the header; bit 3: the block is
+        # the 32-byte extended (v2) layout (all new containers); bits 4+:
+        # AVP feature count (utils/container.py)
+        tile_w=int(transposed) | (2 * (tune != TUNE_V1)) | 4 | 8
+               | (AVP_N << 4),
         n_tiles=s,
         bias_len=0,
         hist_len=4 * n_states,
@@ -981,8 +1080,11 @@ def _encode_dispatch(imgs, th: int, near: int = 0,
     strips = np.stack([_to_strips(im, th) for im in imgs])
     s = strips.shape[1]
     # the near feedback scan keeps bias/mapper row-frozen (its per-pixel
-    # walk reads the tables the whole row); the recorded tune says so
-    tune = (TUNE._replace(seg_bias=0, seg_map=0, seg_stats=0)
+    # walk reads the tables the whole row); predictor mixing (mix_e) IS
+    # supported — the feedback walk carries the same mix chains as the
+    # decoder.  The recorded tune says exactly what was used.
+    tune = (TUNE._replace(seg_bias=0, seg_map=0, seg_stats=0,
+                          sym_bias=0, w_pred=0)
             if near else TUNE)
     with jax.enable_x64():
         if near:
@@ -1001,15 +1103,18 @@ def _encode_dispatch(imgs, th: int, near: int = 0,
                 strips.shape[-1] // _eff_seg(tune.n_seg, strips.shape[-1])
                 if tune.seg_stats else 0
             )
+            mix = bool(tune.mix_e)
+            wq = bool(tune.w_pred)
             if len(imgs) == 1:
                 planes = _model_jit(
-                    jnp.asarray(strips[0]), AVP_N, row_frozen, seg_w
+                    jnp.asarray(strips[0]), AVP_N, row_frozen, seg_w, mix,
+                    wq,
                 )
                 len_d, flat_d = _code_jit(*planes, tune)
                 lens_d, flats_d = len_d[None], flat_d[None]
             else:
                 planes = _model_batch_jit(
-                    jnp.asarray(strips), AVP_N, row_frozen, seg_w
+                    jnp.asarray(strips), AVP_N, row_frozen, seg_w, mix, wq
                 )
                 lens_d, flats_d = _code_batch_jit(*planes, tune)
     return (lens_d, flats_d, dims, tflags, s, th, near, tune)
@@ -1087,23 +1192,28 @@ def encode_batches(image_groups, th: int = TH_DEFAULT,
 def _decode_carry_init(smat, n_imgs: int, s: int, w: int, n_feat: int,
                        near: int, tune: Tune):
     """Initial decode-scan carry (window rows, AVP chains, coder tables,
-    rANS states, bias moments) for a widened (lanes, N_PHASE, wmax) smat."""
+    rANS states, bias moments) for a widened (lanes, N_PHASE, wmax) smat.
+    With ``tune.mix_e`` a trailing (2, lanes, w) mix-energy B chain rides
+    the carry (pavp.mix_blend's causal |err| energies)."""
     lanes = n_imgs * s
     m = pavp.get_m(n_feat)
     n_class = zcodec3.layer_consts(_k_step(near), tune.n_unary).n_class
     state0, _ = rans_bin.dec_init(smat)
-    return (
+    base = (
         jnp.zeros((lanes, w), jnp.int32),
         jnp.zeros((lanes, w), jnp.int32),
         jnp.zeros((m, lanes, w), jnp.int64),
-        coder3.init_unary(lanes, n_class),
-        coder3.init_refine(lanes),
+        coder3.init_unary(lanes, n_class, tune.cnt_init),
+        coder3.init_refine(lanes, tune.cnt_init),
         coder3.init_mapper(n_imgs),
         state0,
         jnp.full((lanes, N_PHASE), 2, jnp.int32),
         jnp.zeros((n_imgs, Q_N_CONTEXT), jnp.int32),
         jnp.zeros((n_imgs, Q_N_CONTEXT), jnp.int32),
     )
+    if tune.mix_e and not tune.seg_stats:
+        base = base + (jnp.zeros((2, lanes, w), jnp.int64),)
+    return base
 
 
 def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
@@ -1140,6 +1250,9 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
     seg_map = bool(tune.seg_map) and n_seg > 1
     seg_stats = bool(tune.seg_stats) and w % n_seg == 0
     sym_cnt = bool(tune.sym_cnt)
+    mix_e = bool(tune.mix_e) and not seg_stats
+    w_pred = bool(tune.w_pred) and seg_stats
+    ab_m = pavp.mix_ab()
     wmax = smat.shape[-1]
     words_flat = smat.reshape(lanes, N_PHASE * wmax)
     # ``_ablate``: profiling-only switches (scripts/profile_p3_decode.py)
@@ -1164,8 +1277,12 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
     rot = l_tot % N_PHASE
 
     def row_body(carry, i):
-        (prev1, prev2, b_row, utab, rtab, mhist, states, ptrs,
-         bsums, bcnts) = carry
+        if mix_e:
+            (prev1, prev2, b_row, utab, rtab, mhist, states, ptrs,
+             bsums, bcnts, b_mix) = carry
+        else:
+            (prev1, prev2, b_row, utab, rtab, mhist, states, ptrs,
+             bsums, bcnts) = carry
         if not seg_bias:
             btab_row = (
                 ctx_ops.quantize_bias(bsums, bcnts, tune.bias_shrink)
@@ -1174,6 +1291,9 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
         # AVPprecalcuate: F from the previous row's B state
         f_row = pavp.f_chain(jnp.moveaxis(b_row, 2, 0))  # (W, m, lanes)
         f_row = jnp.moveaxis(f_row, 0, 2)  # (m, lanes, W)
+        if mix_e:
+            f_mix = pavp.f_chain(jnp.moveaxis(b_mix, 2, 0), ab=ab_m)
+            f_mix = jnp.moveaxis(f_mix, 0, 2)  # (2, lanes, W)
 
         if not seg_map:
             _, order = coder3.mapper_ranks(mhist)
@@ -1182,11 +1302,13 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
         regs0 = row_start_window(i, prev1, prev2, w)
 
         def code_bin(states, ptrs, slot_l, p1, active, base):
-            # states/ptrs are in the rotated layout: slot_l is a STATIC
-            # column; only the stream-word fetch needs the physical phase
+            # states/ptrs are N_PHASE-tuples of (lanes,) registers in the
+            # rotated layout: slot_l is a STATIC index, so the update is a
+            # register rebind (no in-place array ops in the per-bin hot
+            # path); only the stream-word fetch needs the physical phase
             c = slot_l % N_PHASE
-            st = states[:, c]
-            pt = ptrs[:, c]
+            st = states[c]
+            pt = ptrs[c]
             b, st2 = rans_bin.dec_bit(st, p1)
             need = st2 < rans_bin.ANS_LOW
             phys = (base + slot_l) % N_PHASE
@@ -1205,8 +1327,8 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
             pt2 = pt + need.astype(jnp.int32)
             st = jnp.where(active, st2, st)
             pt = jnp.where(active, pt2, pt)
-            states = states.at[:, c].set(st)
-            ptrs = ptrs.at[:, c].set(pt)
+            states = states[:c] + (st,) + states[c + 1 :]
+            ptrs = ptrs[:c] + (pt,) + ptrs[c + 1 :]
             return jnp.where(active, b, 0), states, ptrs
 
         def seg_scan(scarry, j0):
@@ -1217,15 +1339,26 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
             update after every bin inside the walk (the encoder's
             prefix-sum probabilities), and only halving happens at the
             segment boundary."""
-            (regs, err, e_acc, b_row, utab, rtab, mhist, bsums, bcnts,
-             states, ptrs) = scarry
+            if mix_e:
+                (regs, err, e_acc, b_row, utab, rtab, mhist, bsums,
+                 bcnts, states, ptrs, e_mix, b_mix) = scarry
+            else:
+                (regs, err, e_acc, b_row, utab, rtab, mhist, bsums,
+                 bcnts, states, ptrs) = scarry
             if not sym_cnt:
                 uprob = coder3.prob_table(utab)
                 rprob = coder3.prob_table(rtab)
-            btab_b = (
-                ctx_ops.quantize_bias(bsums, bcnts, tune.bias_shrink)
-                if seg_bias else btab_row
-            )
+            if seg_bias:
+                # per-pixel moment reads instead of quantizing the whole
+                # (n_imgs, 3072) table every segment: the table quantize's
+                # integer divide was 26% of the decode critical path
+                # (docs/p3_decode_profile_r5.txt); quantize_bias is
+                # elementwise, so gathering (sum, cnt) per pixel and
+                # quantizing (lanes,) values is bit-identical
+                bs_flat = bsums.reshape(-1)
+                bc_flat = bcnts.reshape(-1)
+            else:
+                btab_b = btab_row
             if seg_map:
                 _, order = coder3.mapper_ranks(mhist)
                 order_l = jnp.take(order, img_of_lane, axis=0)
@@ -1265,15 +1398,37 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 # pavp.predict_chunked's measured bug)
                 amat, bvec = jax.lax.optimization_barrier((amat, bvec))
                 diag, num, ok = pavp.solve_batch(amat, bvec, n)
-                diag_x = diag.reshape(n, lanes, ws).transpose(2, 0, 1)
-                num_x = num.reshape(n, lanes, ws).transpose(2, 0, 1)
                 ok_x = ok.reshape(lanes, ws).transpose(1, 0)
+                if w_pred:
+                    # w_pred contract: quantize the whole segment's solves
+                    # to int32 weights HERE (batched, off the per-pixel
+                    # critical path); the walk's prediction is then a pure
+                    # int32 dot — no per-pixel int64 division at all
+                    wq = pavp.quantize_weights(diag, num)
+                    wq_x = wq.reshape(n, lanes, ws).transpose(2, 0, 1)
+                else:
+                    diag_x = diag.reshape(n, lanes, ws).transpose(2, 0, 1)
+                    num_x = num.reshape(n, lanes, ws).transpose(2, 0, 1)
 
             def col_body(ccarry, col_in):
-                (regs, err, e_acc, b_row, states, ptrs, utab,
-                 rtab) = ccarry
+                if mix_e:
+                    (regs, err, e_acc, b_row, states, ptrs, utab,
+                     rtab, e_mix, b_mix) = ccarry
+                else:
+                    (regs, err, e_acc, b_row, states, ptrs, utab,
+                     rtab) = ccarry
                 li = jnp.arange(lanes)
-                if seg_stats and not ab_avp:
+                if seg_stats and not ab_avp and w_pred:
+                    # fastest path: int32 dot with presolved quantized
+                    # weights (no int64 in the per-pixel prediction)
+                    j, wq_k, ok_k = col_in
+                    nb, px_s, feats = _pixel_taps(regs, prev1, i, j, w, n)
+                    px0 = jnp.where(
+                        ok_k, pavp.predict_wq(wq_k, feats.astype(jnp.int32)),
+                        px_s,
+                    )
+                    qu, qv, qw, adr = _pixel_ctx(nb, err, px0)
+                elif seg_stats and not ab_avp:
                     # fast path: prediction from the presolved system
                     j, e_use, diag_k, num_k, ok_k = col_in
                     nb, px_s, feats = _pixel_taps(regs, prev1, i, j, w, n)
@@ -1288,6 +1443,20 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                     stats = e_acc
                     px0 = px_s
                     qu, qv, qw, adr = _pixel_ctx(nb, err, px0)
+                elif mix_e:
+                    # Tune.mix_e: px0 blends the hard-fallback AVP and
+                    # simple predictions by squared causal |err| energies
+                    # (the encoder's predict_plane mix tail, replayed)
+                    j = col_in
+                    nb, px_s, feats = _pixel_taps(regs, prev1, i, j, w, n)
+                    stats = e_acc + f_row[:, :, j]
+                    px_f, okk = pavp.predict_from_stats(stats, feats, n)
+                    px_h = ((px_f + (1 << (pavp.FB1 - 1)))
+                            >> pavp.FB1).astype(jnp.int32)
+                    px_hard = jnp.where(okk, px_h, px_s)
+                    em = e_mix + f_mix[:, :, j]
+                    px0 = pavp.mix_blend(px_hard, px_s, em[0], em[1], okk)
+                    qu, qv, qw, adr = _pixel_ctx(nb, err, px0)
                 else:
                     j = col_in
                     nb, px_s, feats, stats, px0, qu, qv, qw, adr = (
@@ -1298,6 +1467,13 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                     )
                 if ab_bias:
                     bias = jnp.zeros((lanes,), jnp.int32)
+                elif seg_bias:
+                    idxb = img_of_lane * Q_N_CONTEXT + adr
+                    bias = ctx_ops.quantize_bias(
+                        jnp.take(bs_flat, idxb),
+                        jnp.take(bc_flat, idxb),
+                        tune.bias_shrink,
+                    )
                 else:
                     bias = jnp.take_along_axis(
                         btab_b, adr.reshape(n_imgs, s), axis=1
@@ -1307,11 +1483,10 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
 
                 # unary walk
                 qv2 = zcodec3.adjust_qv(qu, qv, k_step)
-                active = jnp.ones((lanes,), bool)
-                stop_row = jnp.zeros((lanes,), jnp.int32)
-                stopped = jnp.zeros((lanes,), bool)
-                stop_layer = jnp.zeros((lanes,), jnp.int32)
-                for l in range(0 if ab_unary else l_u):
+
+                def unary_layer(l, uc):
+                    states, ptrs, utab, active, stopped, stop_row, \
+                        stop_layer = uc
                     ru = zcodec3.escalated_row(qu, lc.esc_counts[l], k_step)
                     rv = zcodec3.escalated_row(qv2, lc.esc_counts[l], k_step)
                     if sym_cnt:
@@ -1348,6 +1523,35 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                     stop_layer = jnp.where(stop_here, l, stop_layer)
                     stopped = stopped | stop_here
                     active = active & (b == 1)
+                    return (states, ptrs, utab, active, stopped, stop_row,
+                            stop_layer)
+
+                uc = (
+                    states, ptrs, utab,
+                    jnp.ones((lanes,), bool),
+                    jnp.zeros((lanes,), bool),
+                    jnp.zeros((lanes,), jnp.int32),
+                    jnp.zeros((lanes,), jnp.int32),
+                )
+                n_ul = 0 if ab_unary else l_u
+                # deep layers run under a branch: most pixels stop in the
+                # first few layers, and the branch skips the tail's bin
+                # ops whenever NO lane is still walking (cheap at narrow
+                # lane counts, where deep-layer activity is rare)
+                split_u = min(5, n_ul)
+                for l in range(split_u):
+                    uc = unary_layer(l, uc)
+                if n_ul > split_u:
+                    def deep_u(uc):
+                        for l in range(split_u, n_ul):
+                            uc = unary_layer(l, uc)
+                        return uc
+
+                    uc = jax.lax.cond(
+                        jnp.any(uc[3]), deep_u, lambda u: u, uc
+                    )
+                states, ptrs, utab, active, stopped, stop_row, \
+                    stop_layer = uc
 
                 escaped = active
                 k_end = jnp.where(stopped, stop_row // k_step, 0)
@@ -1357,8 +1561,8 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 z = jnp.where(stopped, (i_stop >> lc.k_max) << k_end, 0)
 
                 # refine / escape
-                msb = jnp.zeros((lanes,), jnp.int32)
-                for l in range(0 if ab_refine else L_R):
+                def refine_layer(l, rc):
+                    states, ptrs, rtab, z, msb = rc
                     if l < zcodec3.N_REFINE:
                         kk = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
                         act_r = ((k_end - 1 - l) >= 0) & stopped
@@ -1390,6 +1594,27 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                         escaped, z + (b << (zcodec3.ESCAPE_BITS - 1 - l)), z
                     )
                     msb = jnp.where(act_r & (b == 1) & (msb == 0), 1, msb)
+                    return (states, ptrs, rtab, z, msb)
+
+                rc = (states, ptrs, rtab, z, jnp.zeros((lanes,), jnp.int32))
+                n_rl = 0 if ab_refine else L_R
+                split_r = min(2, n_rl)
+                for l in range(split_r):
+                    rc = refine_layer(l, rc)
+                if n_rl > split_r:
+                    # layers past split run only when some lane still has
+                    # refine bits (k_end deep enough) or escaped (all 8
+                    # raw bits) — rare on natural content
+                    def deep_r(rc):
+                        for l in range(split_r, n_rl):
+                            rc = refine_layer(l, rc)
+                        return rc
+
+                    pred_r = jnp.any(
+                        (((k_end - 1 - split_r) >= 0) & stopped) | escaped
+                    )
+                    rc = jax.lax.cond(pred_r, deep_r, lambda r: r, rc)
+                states, ptrs, rtab, z, msb = rc
 
                 # pixel reconstruction
                 if ab_mapper:
@@ -1413,37 +1638,55 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                     e_acc, b_row = _pixel_update(
                         x, px_s, feats, stats, e_acc, b_row, j, ab, n
                     )
+                if mix_e:
+                    # fold both predictors' |err| into the mix chains
+                    # (the _pixel_update twin for the 2 energy channels)
+                    x64 = x.astype(jnp.int64)
+                    c_mix = jnp.stack([
+                        jnp.abs(x64 - px_hard.astype(jnp.int64))
+                        << pavp.FB1,
+                        jnp.abs(x64 - px_s.astype(jnp.int64)) << pavp.FB1,
+                    ])
+                    mb_col = pavp.tdiv(
+                        b_mix[:, :, j] * (ab_m - 1) + (ab_m >> 1), ab_m
+                    ) + c_mix
+                    e_mix = pavp.tdiv(
+                        e_mix * (ab_m - 1) + (ab_m >> 1), ab_m
+                    ) + mb_col
+                    b_mix = jax.lax.dynamic_update_slice_in_dim(
+                        b_mix, mb_col[:, :, None], j, 2
+                    )
 
                 # advance the rotated layout to the next pixel's base
-                # (l_tot mod N_PHASE per pixel — a static concat)
+                # (l_tot mod N_PHASE per pixel — a register permutation,
+                # zero data movement)
                 if rot:
-                    states = jnp.concatenate(
-                        [states[:, rot:], states[:, :rot]], axis=1
-                    )
-                    ptrs = jnp.concatenate(
-                        [ptrs[:, rot:], ptrs[:, :rot]], axis=1
-                    )
+                    states = states[rot:] + states[:rot]
+                    ptrs = ptrs[rot:] + ptrs[:rot]
 
                 regs = slide_window(regs, x, i, j, prev1, prev2, w)
                 outs = (x, y, z, qu, qv, qw, key, adr, px0)
                 if seg_stats and not ab_avp:
                     outs = outs + (px_s, feats)
-                return (
-                    (regs, err2, e_acc, b_row, states, ptrs, utab, rtab),
-                    outs,
-                )
+                c2 = (regs, err2, e_acc, b_row, states, ptrs, utab, rtab)
+                if mix_e:
+                    c2 = c2 + (e_mix, b_mix)
+                return c2, outs
 
             col_xs = j0 + jnp.arange(ws, dtype=jnp.int32)
             if seg_stats and not ab_avp:
-                col_xs = (col_xs, e_lag, diag_x, num_x, ok_x)
-            (
-                (regs, err, e_acc, b_row, states, ptrs, utab, rtab),
-                cols,
-            ) = jax.lax.scan(
-                col_body,
-                (regs, err, e_acc, b_row, states, ptrs, utab, rtab),
-                col_xs,
-            )
+                col_xs = (
+                    (col_xs, wq_x, ok_x) if w_pred
+                    else (col_xs, e_lag, diag_x, num_x, ok_x)
+                )
+            ccarry0 = (regs, err, e_acc, b_row, states, ptrs, utab, rtab)
+            if mix_e:
+                ccarry0 = ccarry0 + (e_mix, b_mix)
+            ccarry1, cols = jax.lax.scan(col_body, ccarry0, col_xs)
+            (regs, err, e_acc, b_row, states, ptrs, utab,
+             rtab) = ccarry1[:8]
+            if mix_e:
+                e_mix, b_mix = ccarry1[8:]
             x_c, y_c, z_c, qu_c, qv_c, qw_c, key_c, adr_c, px0_c = [
                 jnp.moveaxis(v, 0, 1) for v in cols[:9]
             ]
@@ -1490,15 +1733,15 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
             if sym_cnt:
                 # the walk already accumulated every increment; only the
                 # boundary halving remains (row_updates' tail)
-                utab = coder3.halve_pairs(utab, coder3.CNT_HALVE)
-                rtab = coder3.halve_pairs(rtab, coder3.CNT_HALVE)
+                utab = coder3.halve_pairs(utab, tune.cnt_halve)
+                rtab = coder3.halve_pairs(rtab, tune.cnt_halve)
             else:
                 unary, refine, row_end, k_end, escaped = _code_events(
                     z_c, qu_c, qv_c, k_step, l_u
                 )
                 utab, rtab = coder3.row_updates(
                     utab, rtab, qw_c, unary, refine, row_end, k_end,
-                    k_step, l_u,
+                    k_step, l_u, tune.cnt_halve,
                 )
             if seg_map:
                 mhist = coder3.mapper_updates(
@@ -1510,24 +1753,28 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 bsums, bcnts = _bias_update(
                     bsums, bcnts, idx, x_c - px0_c, tune.bias_cap
                 )
-            return (
-                (regs, err, e_acc, b_row, utab, rtab, mhist, bsums,
-                 bcnts, states, ptrs),
-                (x_c, y_c, key_c, adr_c, px0_c),
-            )
+            sc2 = (regs, err, e_acc, b_row, utab, rtab, mhist, bsums,
+                   bcnts, states, ptrs)
+            if mix_e:
+                sc2 = sc2 + (e_mix, b_mix)
+            return sc2, (x_c, y_c, key_c, adr_c, px0_c)
 
         e0 = jnp.zeros((m, lanes), jnp.int64)
         scarry0 = (
             regs0, jnp.zeros((lanes,), jnp.int32), e0, b_row, utab, rtab,
             mhist, bsums, bcnts, states, ptrs,
         )
-        (
-            (_, _, _, b_row, utab, rtab, mhist, bsums, bcnts, states,
-             ptrs),
-            segs,
-        ) = jax.lax.scan(
+        if mix_e:
+            # e_mix resets at row start (E is an in-row chain); b_mix
+            # carries across rows like b_row
+            scarry0 = scarry0 + (jnp.zeros((2, lanes), jnp.int64), b_mix)
+        scarry1, segs = jax.lax.scan(
             seg_scan, scarry0, jnp.arange(n_seg, dtype=jnp.int32) * ws
         )
+        (_, _, _, b_row, utab, rtab, mhist, bsums, bcnts, states,
+         ptrs) = scarry1[:11]
+        if mix_e:
+            b_mix = scarry1[12]
         x_r, y_r, key_r, adr_r, px0_r = [
             jnp.moveaxis(v, 0, 1).reshape(lanes, w) for v in segs
         ]
@@ -1542,28 +1789,29 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
             bsums, bcnts = _bias_update(
                 bsums, bcnts, idx, x_r - px0_r, tune.bias_cap
             )
-        return (
-            (x_r, prev1, b_row, utab, rtab, mhist, states, ptrs,
-             bsums, bcnts),
-            x_r,
-        )
+        c_out = (x_r, prev1, b_row, utab, rtab, mhist, states, ptrs,
+                 bsums, bcnts)
+        if mix_e:
+            c_out = c_out + (b_mix,)
+        return c_out, x_r
 
     # physical -> rotated entry conversion (once per program; i0 is
-    # traced so this is the one dynamic gather of the whole decode)
+    # traced so this is the one dynamic gather of the whole decode),
+    # then split into per-phase registers for the walk
     base0 = (i0 * w * l_tot) % N_PHASE
     vidx = (base0 + jnp.arange(N_PHASE, dtype=jnp.int32)) % N_PHASE
     cl = list(carry)
-    cl[6] = jnp.take(cl[6], vidx, axis=1)
-    cl[7] = jnp.take(cl[7], vidx, axis=1)
+    cl[6] = tuple(jnp.take(cl[6], vidx, axis=1).T)
+    cl[7] = tuple(jnp.take(cl[7], vidx, axis=1).T)
     carry, out_rows = jax.lax.scan(
         row_body, tuple(cl), i0 + jnp.arange(rows, dtype=jnp.int32)
     )
-    # rotated -> physical exit conversion
+    # rotated -> physical exit conversion (registers -> arrays first)
     base_end = ((i0 + rows) * w * l_tot) % N_PHASE
     pidx = (jnp.arange(N_PHASE, dtype=jnp.int32) - base_end) % N_PHASE
     cl = list(carry)
-    cl[6] = jnp.take(cl[6], pidx, axis=1)
-    cl[7] = jnp.take(cl[7], pidx, axis=1)
+    cl[6] = jnp.take(jnp.stack(cl[6], axis=1), pidx, axis=1)
+    cl[7] = jnp.take(jnp.stack(cl[7], axis=1), pidx, axis=1)
     carry = tuple(cl)
     px = jnp.moveaxis(out_rows, 0, 1)  # (lanes, rows, w)
     if w % 4 == 0:
@@ -1575,14 +1823,24 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
 
 
 def _gather_prob(uprob, row, cls: int):
-    t = uprob[:, :, cls]
-    return jnp.take_along_axis(t, row[:, None], axis=1)[:, 0]
+    """Per-lane (lanes, 16) table read at traced row — one-hot product
+    instead of a gather (XLA's gather is ~1 us/op inside this scan; the
+    one-hot mask runs at plain vector-op cost)."""
+    t = uprob[:, :, cls].astype(jnp.float32)
+    oh = jax.nn.one_hot(row, zcodec3.N_ROW, dtype=jnp.float32)
+    return jnp.sum(t * oh, axis=1).astype(jnp.int32)
 
 
 def _gather_refine(rprob, row, kk, msb):
-    t = jnp.take_along_axis(rprob, row[:, None, None, None], axis=1)[:, 0]
-    t = jnp.take_along_axis(t, kk[:, None, None], axis=1)[:, 0]
-    return jnp.take_along_axis(t, msb[:, None], axis=1)[:, 0]
+    """(lanes, 16, 5, 2) read at traced (row, kk, msb) via one one-hot
+    contraction (three chained gathers cost ~3 us/pixel in the walk)."""
+    ohr = jax.nn.one_hot(row, zcodec3.N_ROW, dtype=jnp.float32)
+    ohk = jax.nn.one_hot(kk, zcodec3.N_REFINE, dtype=jnp.float32)
+    ohm = jax.nn.one_hot(msb, 2, dtype=jnp.float32)
+    mask = ohr[:, :, None, None] * ohk[:, None, :, None] * ohm[:, None, None, :]
+    return jnp.sum(
+        rprob.astype(jnp.float32) * mask, axis=(1, 2, 3)
+    ).astype(jnp.int32)
 
 
 _decode_seg_jit = jax.jit(
@@ -1626,8 +1884,10 @@ def _parse(stream: bytes):
     check_size(hdr.height, hdr.width)
     pos = NbtcHeader.SIZE
     if hdr.tile_w & 4:  # serialized replay-contract constants (new format)
-        tune = Tune.from_bytes(stream[pos : pos + Tune.SIZE]).validate()
-        pos += Tune.SIZE
+        ext = bool(hdr.tile_w & 8)  # 32-byte extended (v2) block
+        size = Tune.SIZE2 if ext else Tune.SIZE
+        tune = Tune.from_bytes(stream[pos : pos + size], ext).validate()
+        pos += size
     else:  # legacy: version bit selects a fixed named set
         tune = TUNE_V2 if hdr.tile_w & 2 else TUNE_V1
     # strip-geometry consistency (corrupt headers must fail cleanly, not

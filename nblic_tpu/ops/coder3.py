@@ -31,26 +31,24 @@ import jax.numpy as jnp
 from . import zcodec3
 from .rans_bin import PROB_MAX
 
-import os as _os
-
 N_MAP = 20
 MAP_KEYS = 512
 MAP_BUMP = 4      # v1 mapper decay; the tuned container version overrides
 MAP_HALVE = 4096  # these per stream via strips.Tune (replay contract)
-# Env knobs below are scripts/p3_sweep.py experiment levers only; changing
-# a default requires a new container version bit (they are replay state).
-CNT_INIT = int(_os.environ.get("NBLIC_P3_CNT_INIT", 32))
-CNT_HALVE = int(_os.environ.get("NBLIC_P3_CNT_HALVE", 8192))  # N_QW*MAX_COUNTER (NBLIC.c:612)
+# Counter dynamics are replay state: the serialized strips.Tune (extended
+# block fields cnt_init/cnt_halve) overrides these defaults per stream.
+CNT_INIT = 32
+CNT_HALVE = 8192  # N_QW*MAX_COUNTER (NBLIC.c:612)
 QW_MAX = 32
 
 
-def init_unary(lanes: int, n_class: int):
-    return jnp.full((lanes, zcodec3.N_ROW, n_class, 2), CNT_INIT, jnp.int32)
+def init_unary(lanes: int, n_class: int, init: int = CNT_INIT):
+    return jnp.full((lanes, zcodec3.N_ROW, n_class, 2), init, jnp.int32)
 
 
-def init_refine(lanes: int):
+def init_refine(lanes: int, init: int = CNT_INIT):
     return jnp.full(
-        (lanes, zcodec3.N_ROW, zcodec3.N_REFINE, 2, 2), CNT_INIT, jnp.int32
+        (lanes, zcodec3.N_ROW, zcodec3.N_REFINE, 2, 2), init, jnp.int32
     )
 
 
@@ -91,7 +89,7 @@ def _oh(v, n):
 
 
 def row_updates(utab, rtab, qw, unary, refine, row_end, k_end, k_step: int,
-                n_unary: int = zcodec3.N_UNARY):
+                n_unary: int = zcodec3.N_UNARY, halve: int = CNT_HALVE):
     """Fold one row's coded events into the counter tables.
 
     All row planes are (L, W); ``unary``/``refine`` are zcodec3 layer lists
@@ -112,7 +110,7 @@ def row_updates(utab, rtab, qw, unary, refine, row_end, k_end, k_step: int,
             "lwr,lwx,lw->lrx", ohu, ohb, QW_MAX - qwf
         , precision=jax.lax.Precision.HIGHEST) + jnp.einsum("lwr,lwx,lw->lrx", ohv, ohb, qwf, precision=jax.lax.Precision.HIGHEST)
         du = du.at[:, :, c, :].add(contrib)
-    utab = halve_pairs(utab + du.astype(jnp.int32), CNT_HALVE)
+    utab = halve_pairs(utab + du.astype(jnp.int32), halve)
 
     dr = jnp.zeros(rtab.shape, jnp.float32)
     for l, (bit, act, msb) in enumerate(refine):
@@ -125,7 +123,7 @@ def row_updates(utab, rtab, qw, unary, refine, row_end, k_end, k_step: int,
         dr = dr + jnp.einsum(
             "lwr,lwk,lwm,lwx->lrkmx", ohr, ohk, ohm, ohb
         , precision=jax.lax.Precision.HIGHEST)
-    rtab = halve_pairs(rtab + dr.astype(jnp.int32), CNT_HALVE)
+    rtab = halve_pairs(rtab + dr.astype(jnp.int32), halve)
     return utab, rtab
 
 

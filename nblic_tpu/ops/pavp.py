@@ -48,9 +48,90 @@ def _ab_vec(m: int, first_beta: bool = True):
     return jnp.asarray([first] + [ALPHA] * (m - 1), jnp.int64)[:, None]
 
 
-def col_chain(contrib, first_beta: bool = True):
+# --- predictor mixing (strips.Tune.mix_e replay contract) -----------------
+# Two extra causal B/E/F chain channels carry spatially-decayed |err|
+# energies of the hard-fallback AVP prediction (channel 0) and the simple
+# prediction (channel 1); px0 blends the two predictions by SQUARED
+# energies (sharper than linear: near-hard when one predictor clearly
+# dominates — measured on Kodak, linear weights lose, squared wins;
+# scripts/exp_mix.py).  All arithmetic int64, identical on both sides.
+MIX_SH = 12  # pre-square downshift keeps squared energies in int64
+
+
+def mix_ab():
+    """Decay denominators of the two mix channels (both energy-class)."""
+    return jnp.asarray([[BETA], [BETA]], jnp.int64)
+
+
+# --- division-free quantized-weight prediction (strips.Tune.w_pred) ------
+# The per-pixel AVP prediction divides each term by the solve's pivot
+# product (predict_from_stats) — ~10 emulated int64 divisions per pixel on
+# the decoder's critical path.  The w_pred contract instead quantizes the
+# solution to int32 fixed-point weights ONCE per solve (off the critical
+# path, batched with the seg_stats solves) and predicts with a pure int32
+# dot product.  Quantization step 2^-FBW of a pixel unit; |coeff| clipped
+# to 2^(WCLIP_BITS-FBW) so a 10-term dot stays within int32.
+FBW = 12
+WCLIP = (1 << 19) - 1
+
+
+def quantize_weights(diag, num):
+    """(diag, num) solve output -> int32 fixed-point weights (w_pred).
+
+    The reference term is num*2^FB2/safe in FB1 fixed point, so the
+    PIXEL-unit coefficient is num*2^(FB2-FB1)/safe and its FBW encoding
+    is (num << (FBW-FB1+FB2)) / safe.  Computed without forming the
+    shifted numerator (elimination pivots/numerators reach ~2^60; the
+    naive shift overflows int64 — measured as 6.5-bpp garbage weights):
+    decompose on magnitudes, an = q0*ad + r, quotient = q0*2^s +
+    (r << s)/ad with r < ad, which matches the truncating division."""
+    efb = FBW - FB1 + FB2  # = 2
+    safe = jnp.where(diag == 0, 1, diag)
+    ad = jnp.abs(safe)
+    an = jnp.abs(num)
+    # range-normalize (>>16 when huge: ~2^-32 relative precision; the
+    # contract only needs the SAME deterministic function on both sides)
+    big = ad >= (jnp.int64(1) << 48)
+    ad = jnp.maximum(jnp.where(big, ad >> 16, ad), 1)
+    an = jnp.where(big, an >> 16, an)
+    q0 = an // ad
+    r = an - q0 * ad
+    mag = (jnp.minimum(q0, 1 << 28) << efb) + ((r << efb) // ad)
+    sgn = jnp.sign(num) * jnp.sign(safe)
+    return jnp.clip(sgn * mag, -WCLIP, WCLIP).astype(jnp.int32)
+
+
+def predict_wq(wq, feats32):
+    """int32 prediction from quantized weights: the w_pred walk formula.
+
+    wq/feats32: (n, ...) int32 (feats = tap - FIT_BASE).  Bit-identical
+    on every backend (pure int32); callers apply the ``ok`` fallback.
+    The dot stays within int32 by construction: |wq| < 2^19 (WCLIP),
+    |feat| <= 2^7, n <= 12 -> |acc| < 2^30."""
+    acc = jnp.sum(wq * feats32, axis=0, dtype=jnp.int32)
+    px = (jnp.int32(FIT_BASE) << FBW) + acc
+    px = jnp.clip(px, 0, jnp.int32(255) << FBW)
+    return (px + (1 << (FBW - 1))) >> FBW
+
+
+def mix_blend(px_a, px_s, e_a, e_s, ok):
+    """Blend: px0 = (px_a*(e_s'+1) + px_s*(e_a'+1)) / (e_a'+e_s'+2),
+    e' = (e >> MIX_SH)^2; falls back to px_s where the solve failed."""
+    ea2 = (e_a >> MIX_SH) * (e_a >> MIX_SH)
+    es2 = (e_s >> MIX_SH) * (e_s >> MIX_SH)
+    den = ea2 + es2 + 2
+    num = (
+        px_a.astype(jnp.int64) * (es2 + 1)
+        + px_s.astype(jnp.int64) * (ea2 + 1)
+        + (den >> 1)
+    )
+    return jnp.where(ok, (num // den).astype(jnp.int32), px_s)
+
+
+def col_chain(contrib, first_beta: bool = True, ab=None):
     """B state after the update at each row.  contrib: (H, m, L) int64."""
-    ab = _ab_vec(contrib.shape[1], first_beta)
+    if ab is None:
+        ab = _ab_vec(contrib.shape[1], first_beta)
 
     def step(b, c):
         b = tdiv(b * (ab - 1) + (ab >> 1), ab) + c
@@ -60,13 +141,14 @@ def col_chain(contrib, first_beta: bool = True):
     return out
 
 
-def e_chain(b_new, first_beta: bool = True):
+def e_chain(b_new, first_beta: bool = True, ab=None):
     """E before each pixel: in-row accumulation of post-update B columns.
 
     b_new: (W, m, L) row-major per-column states for one row set; returns E
     *before* column j (E after j-1), zero at j=0 (NBLIC.c:826, 276-281).
     """
-    ab = _ab_vec(b_new.shape[1], first_beta)
+    if ab is None:
+        ab = _ab_vec(b_new.shape[1], first_beta)
 
     def step(e, b):
         # emit E before column j, then fold column j's post-update B in
@@ -101,10 +183,11 @@ def e_freeze_extend(e, seg_w: int, first_beta: bool = True):
     return full.transpose(1, 0, 2, 3).reshape(e.shape)
 
 
-def f_chain(b_prev, first_beta: bool = True):
+def f_chain(b_prev, first_beta: bool = True, ab=None):
     """F at each column from the previous row's B (AVPprecalcuate,
     NBLIC.c:186-204).  b_prev: (W, m, L); returns F: (W, m, L)."""
-    ab = _ab_vec(b_prev.shape[1], first_beta)
+    if ab is None:
+        ab = _ab_vec(b_prev.shape[1], first_beta)
 
     def step(f, b):
         f2 = tdiv(f * (ab - 1) + (ab >> 1), ab) + b
@@ -245,13 +328,17 @@ def _solve_chunk() -> int:
     return 131072 if tpu else 4096
 
 
-def predict_chunked(stats, feats, n: int):
+def predict_chunked(stats, feats, n: int, w_quant: bool = False):
     """predict_from_stats via lax.map over fixed-size pixel chunks.
 
     XLA's compile time for the unrolled solve grows superlinearly with the
     batch extent; mapping over fixed chunks compiles the body once at a
     known-cheap shape (runtime cost of the chunking is nil — the solve is
     a tiny fraction of the encode).
+
+    ``w_quant``: the w_pred contract — quantize the solve to int32 weights
+    and predict with the int32 dot (returns pixel-unit px0, not FB1 fixed
+    point; the decoder's walk computes the identical predict_wq).
     """
     SOLVE_CHUNK = _solve_chunk()
     m, p = stats.shape
@@ -272,6 +359,8 @@ def predict_chunked(stats, feats, n: int):
 
     def body(args):
         s, f = args
+        if w_quant:
+            return predict_from_stats_wq(s, f, n)
         return predict_from_stats(s, f, n)
 
     px, ok = jax.lax.map(body, (stats_c, feats_c))
@@ -295,8 +384,24 @@ def predict_from_stats(stats, feats, n: int):
     return px, ok
 
 
+def predict_from_stats_wq(stats, feats, n: int):
+    """Ridge solve + w_pred int32 quantized-weight prediction.
+
+    Returns (px0 in PIXEL units int32, ok) — the encoder twin of the
+    decoder's batched quantize_weights + per-pixel predict_wq."""
+    bias = jnp.int64(RIDGE_BIAS)
+    bvec = stats[1 : 1 + n] + (bias << FB3)
+    amat = stats[1 + n :].reshape(n, n, -1)
+    eye = jnp.eye(n, dtype=jnp.int64)[:, :, None]
+    amat = amat + eye * (bias * n)
+    diag, num, ok = solve_batch(amat, bvec, n)
+    wq = quantize_weights(diag, num)
+    return predict_wq(wq, feats.astype(jnp.int32)), ok
+
+
 def predict_plane(strips, n: int = N_FEAT, row_frozen: bool = False,
-                  seg_w: int = 0):
+                  seg_w: int = 0, mix: bool = False,
+                  w_quant: bool = False):
     """AVP prediction for every pixel of (S, H, W) int32 strips, in parallel.
 
     Returns the int32 px0 plane.  Decomposition of the reference's per-pixel
@@ -312,9 +417,19 @@ def predict_plane(strips, n: int = N_FEAT, row_frozen: bool = False,
     chain runs over the PREVIOUS row's B instead of the current row's) —
     the profile-3 v2 contract, which lets the decoder hoist the solve out
     of its per-pixel walk.
+
+    ``mix``: blend the hard-fallback prediction with the simple one by
+    squared causal decayed |err| energies (strips.Tune.mix_e; the
+    reference blends implicitly via its error-energy sample weights,
+    NBLIC.c:257-262).  The mix chains are always live (e over the current
+    row's B), so the combination with ``row_frozen``/``seg_w`` is
+    undefined and rejected.
     """
     from .neighbors import sample
     from .predict import simple_predict
+
+    if mix and (row_frozen or seg_w):
+        raise ValueError("mix_e is incompatible with row_frozen/seg_stats")
 
     s, h, w = strips.shape
     m = get_m(n)
@@ -341,12 +456,14 @@ def predict_plane(strips, n: int = N_FEAT, row_frozen: bool = False,
 
     s_curr = jnp.abs(x - px_s.astype(jnp.int64)) << FB1
 
-    def run_chains(contrib, first_beta=True):
+    def run_chains(contrib, first_beta=True, ab=None):
         """contrib (C, S, H, W) -> (E + F) stats, same leading C."""
         c = contrib.shape[0]
         # B: per-column chain over rows; scan over H with (C, S*W) body
         b_in = contrib.transpose(2, 0, 1, 3).reshape(h, c, s * w)
-        b_new = col_chain(b_in, first_beta).reshape(h, c, s, w).transpose(1, 2, 0, 3)
+        b_new = col_chain(b_in, first_beta, ab).reshape(
+            h, c, s, w
+        ).transpose(1, 2, 0, 3)
         b_prev = jnp.concatenate(
             [jnp.zeros_like(b_new[:, :, :1]), b_new[:, :, :-1]], axis=2
         )
@@ -356,13 +473,15 @@ def predict_plane(strips, n: int = N_FEAT, row_frozen: bool = False,
         # seg_stats serving contract — lets the decoder batch solves)
         e_src = b_prev if row_frozen else b_new
         e_in = e_src.transpose(3, 0, 1, 2).reshape(w, c, s * h)
-        e = e_chain(e_in, first_beta)
+        e = e_chain(e_in, first_beta, ab)
         if seg_w:
             e = e_freeze_extend(e, seg_w, first_beta)
         e = e.reshape(w, c, s, h).transpose(1, 2, 3, 0)
         # F: right-to-left prefix of the previous row's B
         f_in = b_prev.transpose(3, 0, 1, 2).reshape(w, c, s * h)
-        f = f_chain(f_in, first_beta).reshape(w, c, s, h).transpose(1, 2, 3, 0)
+        f = f_chain(f_in, first_beta, ab).reshape(
+            w, c, s, h
+        ).transpose(1, 2, 3, 0)
         return e + f
 
     # energy channel first: its E+F feeds every other channel's weight
@@ -413,9 +532,25 @@ def predict_plane(strips, n: int = N_FEAT, row_frozen: bool = False,
     stats_flat = jnp.concatenate(
         [ef0.reshape(1, -1), stats.reshape(n + n * n, -1)]
     )
-    px_f, ok = predict_chunked(stats_flat, feats.reshape(n, -1), n)
-    px0 = ((px_f + (1 << (FB1 - 1))) >> FB1).astype(jnp.int32).reshape(s, h, w)
-    return jnp.where(ok.reshape(s, h, w), px0, px_s)
+    px_v, ok = predict_chunked(stats_flat, feats.reshape(n, -1), n, w_quant)
+    if w_quant:  # already pixel units (predict_wq)
+        px0 = px_v.astype(jnp.int32).reshape(s, h, w)
+    else:
+        px0 = ((px_v + (1 << (FB1 - 1))) >> FB1).astype(
+            jnp.int32
+        ).reshape(s, h, w)
+    okp = ok.reshape(s, h, w)
+    px_hard = jnp.where(okp, px0, px_s)
+    if not mix:
+        return px_hard
+    # mix chains: causal decayed |err| energies of both predictors (the
+    # decoder replays them per pixel from its reconstructions)
+    c_mix = jnp.stack([
+        jnp.abs(x - px_hard.astype(jnp.int64)) << FB1,
+        jnp.abs(x - px_s.astype(jnp.int64)) << FB1,
+    ])
+    ef_mix = run_chains(c_mix, ab=mix_ab())
+    return mix_blend(px_hard, px_s, ef_mix[0], ef_mix[1], okp)
 
 
 def contributions(x, feats, s_curr, s_sum, n: int):

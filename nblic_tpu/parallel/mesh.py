@@ -384,7 +384,8 @@ def _p3_dispatch_sharded(imgs, th: int, near: int, sharding):
     s = tile_stack.shape[1]
     xs = jax.device_put(jnp.asarray(tile_stack), sharding)
     tune = (
-        strips.TUNE._replace(seg_bias=0, seg_map=0, seg_stats=0)
+        strips.TUNE._replace(seg_bias=0, seg_map=0, seg_stats=0,
+                             sym_bias=0, w_pred=0)
         if near else strips.TUNE
     )
     with jax.enable_x64():
@@ -398,7 +399,8 @@ def _p3_dispatch_sharded(imgs, th: int, near: int, sharding):
                 if tune.seg_stats else 0
             )
             planes = strips._model_batch_jit(
-                xs, strips.AVP_N, False, seg_w
+                xs, strips.AVP_N, False, seg_w, bool(tune.mix_e),
+                bool(tune.w_pred),
             )
             lens_d, flats_d = strips._code_batch_jit(
                 *planes, tune

@@ -115,14 +115,18 @@ class NbtcHeader:
       tile_w  = bit 0: image stored transposed | bit 1: tuned replay
                 contract (legacy version bit: models/strips.TUNE_V2
                 adaptation constants + 13-layer unary budget; 0 = the
-                original TUNE_V1 set) | bit 2: a 20-byte serialized Tune
-                block (10 little-endian u16: bias_cap, map_bump, map_halve,
-                n_unary, bias_shrink, n_seg, seg_bias, seg_map, seg_stats,
-                sym_cnt — models/strips.Tune) immediately
-                follows the header, making the replay contract fully
-                self-describing (decode never consults process state; all
-                new containers set this) | bits 4+: AVP feature count
-                (0 means a legacy 6-feature container),
+                original TUNE_V1 set) | bit 2: a serialized Tune block
+                (little-endian u16 fields in models/strips.Tune order)
+                immediately follows the header, making the replay contract
+                fully self-describing (decode never consults process
+                state) | bit 3: the block is the 32-byte extended (v2)
+                layout — 16 u16: bias_cap, map_bump, map_halve, n_unary,
+                bias_shrink, n_seg, seg_bias, seg_map, seg_stats, sym_cnt,
+                cnt_init, cnt_halve, mix_e, sym_bias, w_pred, spare; bit 3
+                clear = the 20-byte legacy block (first 10 fields; the
+                rest default).  All new containers set bits 2+3 | bits
+                4+: AVP feature count (0 means a legacy 6-feature
+                container),
       n_tiles = strip count,
       bias_len= 0 for the row-adaptive replayed bias (nothing transmitted);
                 nonzero marks a legacy container with a zlib'd static table,

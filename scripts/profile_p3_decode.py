@@ -7,6 +7,7 @@ serving tune (TUNE_V3S), 24 lanes.  The per-component time = full - ablated
 identifies where the 6x decode-speed gap to the reference class lives.
 
 Usage: python scripts/profile_p3_decode.py [rows=64] [tunes=v3,v3s]
+       [mode=full|base]   (base: no ablations, plus a round-trip check)
 """
 
 import functools
@@ -53,7 +54,11 @@ def main():
         for im in imgs
     ]
 
-    tunes = {"v3": strips.TUNE_V3, "v3s": strips.TUNE_V3S}
+    mode = sys.argv[3] if len(sys.argv) > 3 else "full"
+    ablations = [()] if mode == "base" else ABLATIONS
+    tunes = {"v3": strips.TUNE_V3, "v3s": strips.TUNE_V3S,
+             "v4": strips.TUNE_V4, "v4s": strips.TUNE_V4S,
+             "max": strips.TUNE_MAX}
     for tname in which:
         tune = tunes[tname]
         old = strips.TUNE
@@ -63,6 +68,15 @@ def main():
             streams = [s for ss in strips.encode_batches(groups) for s in ss]
         finally:
             strips.TUNE = old
+        if mode == "base":
+            bpp = 8.0 * sum(len(s) for s in streams) / sum(
+                im.size for im in imgs
+            )
+            decs = strips.decode_batch(streams[:6])
+            ok = all(np.array_equal(d, im)
+                     for im, d in zip(imgs[:6], decs))
+            print(json.dumps({"tune": tname, "bpp": round(bpp, 4),
+                              "roundtrip6_ok": bool(ok)}), flush=True)
         parsed = [strips._parse(s) for s in streams]
         s_cnt = parsed[0][0][2]
         ww = parsed[0][0][0] if parsed[0][0][4] else parsed[0][0][1]
@@ -98,7 +112,7 @@ def main():
             return loop
 
         base_t = None
-        for ablate in ABLATIONS:
+        for ablate in ablations:
             loop = make_loop(ablate)
             with jax.enable_x64():
                 np.asarray(loop(smat, 1))

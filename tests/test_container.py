@@ -26,18 +26,24 @@ def test_nbtc_header_roundtrip():
 
 
 def test_p3_tune_block_layout():
-    # golden byte layout of the profile-3 replay-contract block: 10
-    # little-endian u16 in declared field order, 20 bytes total
+    # golden byte layout of the profile-3 replay-contract block: 16
+    # little-endian u16 in declared field order, 32 bytes total (the
+    # extended v2 block, tile_w bit 3); the first 20 bytes are the legacy
+    # 10-field block, which must keep parsing with defaulted tail fields
     from nblic_tpu.models.strips import TUNE_V3, Tune
 
-    assert Tune.SIZE == 20
+    assert Tune.SIZE == 20 and Tune.SIZE2 == 32
     t = Tune(256, 2, 256, 13, 48, 32, 1, 1, 0, 0)
     data = t.to_bytes()
-    assert len(data) == Tune.SIZE
+    assert len(data) == Tune.SIZE2
     assert data == bytes.fromhex(
-        "0001 0200 0001 0d00 3000 2000 0100 0100 0000 0000".replace(" ", "")
+        "0001 0200 0001 0d00 3000 2000 0100 0100 0000 0000"  # legacy 10
+        " 2000 0020 0000 0000 0000 0000".replace(" ", "")    # v2 tail
     )
-    assert Tune.from_bytes(data) == t
+    assert Tune.from_bytes(data, extended=True) == t
+    # legacy 20-byte parse: tail fields default (cnt_init 32, cnt_halve
+    # 8192, feature flags 0)
+    assert Tune.from_bytes(data[: Tune.SIZE], extended=False) == t
     assert t == TUNE_V3
     t.validate()
 

@@ -183,6 +183,17 @@ def test_segment_adaptation_roundtrip(kodak_crop, monkeypatch):
         # live-counter walk in the decoder)
         strips.TUNE_V2._replace(n_seg=4, seg_bias=1, seg_map=1,
                                 sym_cnt=1),
+        # predictor mixing: blended px0 from squared causal |err|
+        # energies (two extra chain channels replayed by the decoder),
+        # alone and with per-symbol counters + counter-dynamic overrides
+        strips.TUNE_V2._replace(n_seg=4, mix_e=1),
+        strips.TUNE_V2._replace(n_seg=4, seg_bias=1, seg_map=1,
+                                sym_cnt=1, mix_e=1, cnt_init=16,
+                                cnt_halve=4096),
+        # w_pred: int32 quantized-weight prediction (batched at the
+        # seg_stats solves; the walk is division-free)
+        strips.TUNE_V2._replace(n_seg=4, seg_bias=1, seg_map=1,
+                                seg_stats=1, w_pred=1),
     ]
     img = kodak_crop[:48, :64]
     for tune in variants:
