@@ -156,7 +156,7 @@ class Tune(NamedTuple):
         a gigantic trace/compile instead of an error.  Bounds cover every
         swept contract (docs/p3_kodak24.txt) with headroom."""
         ok = (
-            1 <= self.bias_cap
+            1 <= self.bias_cap <= 32768  # f32-exact one-hot moment reads
             and 1 <= self.map_bump <= 4096
             and 1 <= self.map_halve
             and 1 <= self.n_unary <= 20
@@ -1301,21 +1301,29 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
 
         regs0 = row_start_window(i, prev1, prev2, w)
 
-        def code_bin(states, ptrs, slot_l, p1, active, base):
+        def code_bin(states, ptrs, slot_l, p1, active, base, nxt_all):
             # states/ptrs are N_PHASE-tuples of (lanes,) registers in the
             # rotated layout: slot_l is a STATIC index, so the update is a
             # register rebind (no in-place array ops in the per-bin hot
-            # path); only the stream-word fetch needs the physical phase
+            # path).  First visits of each phase (slot < N_PHASE) read
+            # their renorm word from the per-pixel batched prefetch
+            # ``nxt_all`` (one (lanes, 16) gather/pixel, ~6 us, vs ~1 us
+            # PER per-bin gather — XLA:TPU gathers in this scan are
+            # op-latency-bound, scripts/microbench_gather.py); only
+            # phase REVISITS (slot >= N_PHASE, whose ptr may have moved)
+            # gather individually.
             c = slot_l % N_PHASE
             st = states[c]
             pt = ptrs[c]
             b, st2 = rans_bin.dec_bit(st, p1)
             need = st2 < rans_bin.ANS_LOW
-            phys = (base + slot_l) % N_PHASE
-            idx = phys * wmax + jnp.minimum(pt, wmax - 1)
             if ab_fetch:
                 nxt = jnp.full_like(pt, 0x8000)
+            elif slot_l < N_PHASE:
+                nxt = nxt_all[:, slot_l]
             else:
+                phys = (base + slot_l) % N_PHASE
+                idx = phys * wmax + jnp.minimum(pt, wmax - 1)
                 nxt = jnp.take_along_axis(
                     words_flat, idx[:, None], axis=1
                 )[:, 0]
@@ -1353,10 +1361,24 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 # (n_imgs, 3072) table every segment: the table quantize's
                 # integer divide was 26% of the decode critical path
                 # (docs/p3_decode_profile_r5.txt); quantize_bias is
-                # elementwise, so gathering (sum, cnt) per pixel and
-                # quantizing (lanes,) values is bit-identical
-                bs_flat = bsums.reshape(-1)
-                bc_flat = bcnts.reshape(-1)
+                # elementwise, so reading (sum, cnt) per pixel and
+                # quantizing (lanes,) values is bit-identical.  At s == 1
+                # (lane == image, the production geometry) reads are
+                # two-level one-hot reductions (f32-exact: |sum| <= 255 *
+                # (bias_cap + W) < 2^24, bias_cap capped by validate();
+                # per-bin gathers are ~1 us/op in this scan); s > 1 keeps
+                # per-pixel gathers (a per-segment whole-table expand
+                # would cost more than it saves).
+                if s == 1:
+                    t_bs = bsums.reshape(
+                        lanes, Q_N_CONTEXT // 64, 64
+                    ).astype(jnp.float32)
+                    t_bc = bcnts.reshape(
+                        lanes, Q_N_CONTEXT // 64, 64
+                    ).astype(jnp.float32)
+                else:
+                    bs_flat = bsums.reshape(-1)
+                    bc_flat = bcnts.reshape(-1)
             else:
                 btab_b = btab_row
             if seg_map:
@@ -1467,6 +1489,20 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                     )
                 if ab_bias:
                     bias = jnp.zeros((lanes,), jnp.int32)
+                elif seg_bias and s == 1:
+                    oh_hi = jax.nn.one_hot(
+                        adr >> 6, Q_N_CONTEXT // 64, dtype=jnp.float32
+                    )
+                    oh_lo = jax.nn.one_hot(adr & 63, 64, dtype=jnp.float32)
+                    bs = jnp.sum(
+                        jnp.sum(t_bs * oh_hi[:, :, None], axis=1) * oh_lo,
+                        axis=1,
+                    ).astype(jnp.int32)
+                    bc = jnp.sum(
+                        jnp.sum(t_bc * oh_hi[:, :, None], axis=1) * oh_lo,
+                        axis=1,
+                    ).astype(jnp.int32)
+                    bias = ctx_ops.quantize_bias(bs, bc, tune.bias_shrink)
                 elif seg_bias:
                     idxb = img_of_lane * Q_N_CONTEXT + adr
                     bias = ctx_ops.quantize_bias(
@@ -1480,6 +1516,20 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                     ).reshape(lanes)
                 sign, pxc, key = _pixel_correct(px0, bias)
                 base = ((i * w + j) * l_tot) % N_PHASE
+                # batched per-pixel renorm-word prefetch (see code_bin)
+                if ab_fetch:
+                    nxt_all = None
+                else:
+                    pt_all = jnp.stack(ptrs, axis=1)  # (lanes, N_PHASE)
+                    phys_all = (
+                        base + jnp.arange(N_PHASE, dtype=jnp.int32)
+                    ) % N_PHASE
+                    idx_all = phys_all[None, :] * wmax + jnp.minimum(
+                        pt_all, wmax - 1
+                    )
+                    nxt_all = jnp.take_along_axis(
+                        words_flat, idx_all, axis=1
+                    )
 
                 # unary walk
                 qv2 = zcodec3.adjust_qv(qu, qv, k_step)
@@ -1508,7 +1558,7 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                         pv = _gather_prob(uprob, rv, lc.cls_vals[l])
                     p1 = coder3.mix_prob(pu, pv, qw)
                     b, states, ptrs = code_bin(
-                        states, ptrs, l, p1, active, base
+                        states, ptrs, l, p1, active, base, nxt_all
                     )
                     if sym_cnt:
                         am = active.astype(jnp.int32)
@@ -1534,11 +1584,11 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                     jnp.zeros((lanes,), jnp.int32),
                 )
                 n_ul = 0 if ab_unary else l_u
-                # deep layers run under a branch: most pixels stop in the
-                # first few layers, and the branch skips the tail's bin
-                # ops whenever NO lane is still walking (cheap at narrow
-                # lane counts, where deep-layer activity is rare)
-                split_u = min(5, n_ul)
+                # NOTE: running the deep layers under a lax.cond(any
+                # active) branch was measured as a ~30% decode REGRESSION
+                # on XLA:TPU (docs/p3_decode_profile_r5.txt) — straight
+                # lockstep layers win; split_u = n_ul keeps them inline
+                split_u = n_ul
                 for l in range(split_u):
                     uc = unary_layer(l, uc)
                 if n_ul > split_u:
@@ -1582,7 +1632,8 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                         )
                     p1 = jnp.where(escaped, rans_bin.BYPASS_P1, p_ad)
                     b, states, ptrs = code_bin(
-                        states, ptrs, l_u + l, p1, act_r | escaped, base
+                        states, ptrs, l_u + l, p1, act_r | escaped, base,
+                        nxt_all,
                     )
                     kkc = jnp.clip(k_end - 1 - l, 0, zcodec3.N_REFINE - 1)
                     if sym_cnt and l < zcodec3.N_REFINE:
@@ -1598,7 +1649,7 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
 
                 rc = (states, ptrs, rtab, z, jnp.zeros((lanes,), jnp.int32))
                 n_rl = 0 if ab_refine else L_R
-                split_r = min(2, n_rl)
+                split_r = n_rl  # lax.cond tail measured slower; keep inline
                 for l in range(split_r):
                     rc = refine_layer(l, rc)
                 if n_rl > split_r:
@@ -1616,17 +1667,21 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                     rc = jax.lax.cond(pred_r, deep_r, lambda r: r, rc)
                 states, ptrs, rtab, z, msb = rc
 
-                # pixel reconstruction
+                # pixel reconstruction (one-hot mapper read: order values
+                # are < N_MAP so f32 products are exact; two chained
+                # gathers cost ~2 us/pixel in this scan)
                 if ab_mapper:
                     y = z
                 else:
                     zc = jnp.clip(z, 0, coder3.N_MAP - 1)
-                    per_key = jnp.take_along_axis(
-                        order_l, key[:, None, None], axis=1
-                    )[:, 0]
-                    y_small = jnp.take_along_axis(
-                        per_key, zc[:, None], axis=1
-                    )[:, 0]
+                    ohk = jax.nn.one_hot(
+                        key, coder3.MAP_KEYS, dtype=jnp.float32
+                    )
+                    per_key = jnp.sum(
+                        order_l.astype(jnp.float32) * ohk[:, :, None], axis=1
+                    )
+                    ohz = jax.nn.one_hot(zc, coder3.N_MAP, dtype=jnp.float32)
+                    y_small = jnp.sum(per_key * ohz, axis=1).astype(jnp.int32)
                     y = jnp.where(z < coder3.N_MAP, y_small, z)
                 x = ctx_ops.residual_unfold(y, pxc, sign, near)
                 err2 = jnp.clip(x - px0, -MAX_PX_INC, MAX_PX_INC)

@@ -24,15 +24,18 @@ from nblic_tpu.utils import imageio
 
 def main():
     effort = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    th = int(sys.argv[2]) if len(sys.argv) > 2 else tiled.DEFAULT_TILE[0]
+    tw = int(sys.argv[3]) if len(sys.argv) > 3 else tiled.DEFAULT_TILE[1]
     paths = sorted(Path("/root/reference/img_kodak").glob("*.bmp"))
     imgs = [imageio.load_image(str(p)) for p in paths]
     n_px = sum(im.size for im in imgs)
 
     t0 = time.perf_counter()
-    streams = tiled.encode_corpus(imgs, effort=effort)
+    streams = tiled.encode_corpus(imgs, effort=effort, tile_h=th, tile_w=tw)
     t_warm = time.perf_counter() - t0
     bpp = 8.0 * sum(len(s) for s in streams) / n_px
-    print(json.dumps({"effort": effort, "bpp": round(bpp, 4),
+    print(json.dumps({"effort": effort, "tile": [th, tw],
+                      "bpp": round(bpp, 4),
                       "warm_encode_s": round(t_warm, 1)}), flush=True)
 
     # round-trip spot check
@@ -63,7 +66,7 @@ def main():
     dev_t, px_dev = 0.0, 0
     for batch in batches:
         tiles = jnp.asarray(
-            np.stack([tiled.to_tiles(im, *tiled.DEFAULT_TILE) for im in batch])
+            np.stack([tiled.to_tiles(im, th, tw) for im in batch])
         )
         np.asarray(enc_loop(tiles, n_lo))
         np.asarray(enc_loop(tiles, n_hi))
