@@ -1553,10 +1553,29 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                             // (cv[:, 0] + cv[:, 1]),
                             1, rans_bin.PROB_MAX - 1,
                         )
+                        p1 = coder3.mix_prob(pu, pv, qw)
                     else:
-                        pu = _gather_prob(uprob, ru, lc.cls_vals[l])
-                        pv = _gather_prob(uprob, rv, lc.cls_vals[l])
-                    p1 = coder3.mix_prob(pu, pv, qw)
+                        # fused dual-counter read: mix_prob is LINEAR in
+                        # (pu, pv), so one weighted one-hot reduction
+                        # computes pu*(QW-qw) + pv*qw exactly (f32: table
+                        # <= 4095, weights <= 32 -> products < 2^24)
+                        t = uprob[:, :, lc.cls_vals[l]].astype(jnp.float32)
+                        ohu = jax.nn.one_hot(
+                            ru, zcodec3.N_ROW, dtype=jnp.float32
+                        )
+                        ohv = jax.nn.one_hot(
+                            rv, zcodec3.N_ROW, dtype=jnp.float32
+                        )
+                        qwf = qw.astype(jnp.float32)
+                        mixed = jnp.sum(
+                            t * (ohu * (coder3.QW_MAX - qwf)[:, None]
+                                 + ohv * qwf[:, None]),
+                            axis=1,
+                        ).astype(jnp.int32)
+                        p1 = jnp.clip(
+                            (mixed + coder3.QW_MAX // 2) // coder3.QW_MAX,
+                            1, rans_bin.PROB_MAX - 1,
+                        )
                     b, states, ptrs = code_bin(
                         states, ptrs, l, p1, active, base, nxt_all
                     )

@@ -94,11 +94,25 @@ def main():
             acc = acc + jnp.sum(buf * oh, axis=1).astype(jnp.int32)
         return acc % 4096
 
+    # gather-size scaling: one (LANES, K) gather per step
+    def body_batched_k(k):
+        def body(c, i, w):
+            idx = (c[:, None] + i * 7
+                   + jnp.arange(k, dtype=jnp.int32)[None, :] * 131) % (
+                NP16 * WMAX
+            )
+            vals = jnp.take_along_axis(w, idx, axis=1)
+            return (c + jnp.sum(vals, axis=1, dtype=jnp.int32)) % 4096
+
+        return body
+
     legs = [
         ("gather_x1", scan_of(body_k_gathers(1)), 1),
         ("gather_x4", scan_of(body_k_gathers(4)), 4),
         ("gather_x21", scan_of(body_k_gathers(21)), 21),
         ("gather_batched16", scan_of(body_batched), 16),
+        ("gather_batched64", scan_of(body_batched_k(64)), 64),
+        ("gather_batched256", scan_of(body_batched_k(256)), 256),
         ("onehot64_x21", scan_of(body_onehot), 21),
     ]
     for name, loop, k in legs:
