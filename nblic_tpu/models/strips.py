@@ -201,10 +201,13 @@ TUNE_MAX = TUNE_V4._replace(sym_cnt=1)
 # path.  Costs ratio (lag sweep, docs/p3_kodak24.txt: ~4.083 bpp vs the
 # flagship) but still beats reference -e2's 4.088.
 TUNE_V3S = TUNE_V3._replace(n_seg=64, seg_stats=1)
-# round-5 serving: + int32 quantized-weight prediction (w_pred — the
-# walk is division-free) and a 10-layer unary budget (fewer bins per
-# pixel; 4.0844 at nu10 still beats -e2, docs/p3_decode_profile_r5.txt)
-TUNE_V4S = TUNE_V3S._replace(w_pred=1, n_unary=10)
+# round-5 serving: + int32 quantized-weight prediction (w_pred: stats
+# HELD at segment starts, ONE solve per segment, division-free walk), a
+# 10-layer unary budget (fewer bins per pixel; 4.0844 at nu10 still
+# beats -e2), and ROW-frozen bias/mapper (the per-segment bias moment
+# reads were 43% of the decode critical path for ~0.001 bpp;
+# docs/p3_decode_profile_r5.txt)
+TUNE_V4S = TUNE_V3S._replace(w_pred=1, n_unary=10, seg_bias=0, seg_map=0)
 # what new containers are encoded with (env overrides are sweep-only; the
 # chosen constants are serialized into the container either way)
 TUNE = Tune(
@@ -1386,7 +1389,30 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 order_l = jnp.take(order, img_of_lane, axis=0)
             else:
                 order_l = order_row
-            if seg_stats and not ab_avp:
+            if seg_stats and not ab_avp and w_pred:
+                # w_pred hold contract: the prediction stats are (E+F)
+                # sampled at the segment's FIRST column and held (the
+                # encoder's pavp.hold_starts twin) — ONE ridge solve and
+                # ONE weight quantize per segment, and the walk is a pure
+                # int32 dot with no per-pixel int64 at all
+                f0 = jax.lax.dynamic_slice_in_dim(
+                    f_row, j0, 1, axis=2
+                )[:, :, 0]
+                stats0 = e_acc + f0  # (m, lanes)
+                bias_r = jnp.int64(pavp.RIDGE_BIAS)
+                bvec = stats0[1 : 1 + n] + (bias_r << pavp.FB3)
+                eye = jnp.eye(n, dtype=jnp.int64)[:, :, None]
+                amat = stats0[1 + n :].reshape(n, n, -1) + eye * (
+                    bias_r * n
+                )
+                # barrier: the int64 solve miscompiles when XLA fuses the
+                # surrounding layout ops into it (same hazard class as
+                # pavp.predict_chunked's measured bug)
+                amat, bvec = jax.lax.optimization_barrier((amat, bvec))
+                diag, num, ok_seg = pavp.solve_batch(amat, bvec, n)
+                wq_seg = pavp.quantize_weights(diag, num)  # (n, lanes)
+                e0_seg = stats0[0]  # held energy for the moment fold
+            elif seg_stats and not ab_avp:
                 # seg_stats contract: solves use E frozen at the segment
                 # start, decay-extended (pavp.e_freeze_extend's twin);
                 # the true e_acc still threads through for the next
@@ -1421,16 +1447,8 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 amat, bvec = jax.lax.optimization_barrier((amat, bvec))
                 diag, num, ok = pavp.solve_batch(amat, bvec, n)
                 ok_x = ok.reshape(lanes, ws).transpose(1, 0)
-                if w_pred:
-                    # w_pred contract: quantize the whole segment's solves
-                    # to int32 weights HERE (batched, off the per-pixel
-                    # critical path); the walk's prediction is then a pure
-                    # int32 dot — no per-pixel int64 division at all
-                    wq = pavp.quantize_weights(diag, num)
-                    wq_x = wq.reshape(n, lanes, ws).transpose(2, 0, 1)
-                else:
-                    diag_x = diag.reshape(n, lanes, ws).transpose(2, 0, 1)
-                    num_x = num.reshape(n, lanes, ws).transpose(2, 0, 1)
+                diag_x = diag.reshape(n, lanes, ws).transpose(2, 0, 1)
+                num_x = num.reshape(n, lanes, ws).transpose(2, 0, 1)
 
             def col_body(ccarry, col_in):
                 if mix_e:
@@ -1441,12 +1459,14 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                      rtab) = ccarry
                 li = jnp.arange(lanes)
                 if seg_stats and not ab_avp and w_pred:
-                    # fastest path: int32 dot with presolved quantized
-                    # weights (no int64 in the per-pixel prediction)
-                    j, wq_k, ok_k = col_in
+                    # fastest path: int32 dot with the segment's one set
+                    # of presolved quantized weights (closure constants —
+                    # no int64, no per-column xs)
+                    j = col_in
                     nb, px_s, feats = _pixel_taps(regs, prev1, i, j, w, n)
                     px0 = jnp.where(
-                        ok_k, pavp.predict_wq(wq_k, feats.astype(jnp.int32)),
+                        ok_seg,
+                        pavp.predict_wq(wq_seg, feats.astype(jnp.int32)),
                         px_s,
                     )
                     qu, qv, qw, adr = _pixel_ctx(nb, err, px0)
@@ -1748,11 +1768,8 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 return c2, outs
 
             col_xs = j0 + jnp.arange(ws, dtype=jnp.int32)
-            if seg_stats and not ab_avp:
-                col_xs = (
-                    (col_xs, wq_x, ok_x) if w_pred
-                    else (col_xs, e_lag, diag_x, num_x, ok_x)
-                )
+            if seg_stats and not ab_avp and not w_pred:
+                col_xs = (col_xs, e_lag, diag_x, num_x, ok_x)
             ccarry0 = (regs, err, e_acc, b_row, states, ptrs, utab, rtab)
             if mix_e:
                 ccarry0 = ccarry0 + (e_mix, b_mix)
@@ -1773,8 +1790,11 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 s_curr = (
                     jnp.abs(x64 - px_s_c.astype(jnp.int64)) << pavp.FB1
                 )
-                e0f = stats_seg[:, 0, :]                 # (ws, lanes)
-                s_sum = e0f.T + pavp.tdiv(
+                if w_pred:  # held energy (one value per lane)
+                    e0_lw = e0_seg[:, None]
+                else:
+                    e0_lw = stats_seg[:, 0, :].T         # (lanes, ws)
+                s_sum = e0_lw + pavp.tdiv(
                     s_curr * pavp.BETA, jnp.int64(pavp.BETA - 1)
                 )
                 p_ord = lambda a: a.T.reshape(-1)        # P = k*lanes+lane

@@ -183,6 +183,21 @@ def e_freeze_extend(e, seg_w: int, first_beta: bool = True):
     return full.transpose(1, 0, 2, 3).reshape(e.shape)
 
 
+def hold_starts(e, seg_w: int):
+    """Hold chain values at segment starts: e'(j0+k) = e(j0).
+
+    The w_pred contract freezes the WHOLE (E+F) stats at each segment's
+    first column (no decay extension), so the decoder runs ONE ridge
+    solve per segment instead of per column.  e: (W, c, L)."""
+    w = e.shape[0]
+    if seg_w <= 1 or w % seg_w:
+        return e
+    starts = e[::seg_w][:, None]  # (nb, 1, c, L)
+    return jnp.broadcast_to(
+        starts, (w // seg_w, seg_w) + e.shape[1:]
+    ).reshape(e.shape)
+
+
 def f_chain(b_prev, first_beta: bool = True, ab=None):
     """F at each column from the previous row's B (AVPprecalcuate,
     NBLIC.c:186-204).  b_prev: (W, m, L); returns F: (W, m, L)."""
@@ -474,14 +489,18 @@ def predict_plane(strips, n: int = N_FEAT, row_frozen: bool = False,
         e_src = b_prev if row_frozen else b_new
         e_in = e_src.transpose(3, 0, 1, 2).reshape(w, c, s * h)
         e = e_chain(e_in, first_beta, ab)
-        if seg_w:
+        if seg_w and w_quant:
+            # w_pred: hold at starts (one solve per segment, decoder-side)
+            e = hold_starts(e, seg_w)
+        elif seg_w:
             e = e_freeze_extend(e, seg_w, first_beta)
         e = e.reshape(w, c, s, h).transpose(1, 2, 3, 0)
         # F: right-to-left prefix of the previous row's B
         f_in = b_prev.transpose(3, 0, 1, 2).reshape(w, c, s * h)
-        f = f_chain(f_in, first_beta, ab).reshape(
-            w, c, s, h
-        ).transpose(1, 2, 3, 0)
+        f = f_chain(f_in, first_beta, ab)
+        if seg_w and w_quant:
+            f = hold_starts(f, seg_w)
+        f = f.reshape(w, c, s, h).transpose(1, 2, 3, 0)
         return e + f
 
     # energy channel first: its E+F feeds every other channel's weight
