@@ -40,6 +40,46 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "isolated: run this test alone in a fresh python subprocess. "
+        "XLA:CPU reproducibly aborts when one long-lived process "
+        "accumulates the giant p3 x64 scan compiles (see pyproject "
+        "addopts note); isolating the biggest-compile tests bounds any "
+        "single process's compile load, so single-file runs like "
+        "`pytest tests/test_strips.py` are safe too.",
+    )
+
+
+def _run_isolated(item):
+    import subprocess
+    import sys
+
+    env = dict(os.environ, NBLIC_TEST_ISOLATED="1")
+    cmd = [
+        sys.executable, "-m", "pytest", "-q", "-x", "--no-header",
+        "-o", "addopts=", "-p", "no:cacheprovider", item.nodeid,
+    ]
+    r = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=2400,
+        cwd=str(item.config.rootpath), env=env,
+    )
+    if r.returncode != 0:
+        pytest.fail(
+            "isolated subprocess failed (rc=%d):\n%s%s"
+            % (r.returncode, r.stdout[-4000:], r.stderr[-2000:]),
+            pytrace=False,
+        )
+
+
+def pytest_runtest_setup(item):
+    if item.get_closest_marker("isolated") and not os.environ.get(
+        "NBLIC_TEST_ISOLATED"
+    ):
+        item.runtest = lambda: _run_isolated(item)
+
+
 KODAK_DIR = "/root/reference/img_kodak"
 
 

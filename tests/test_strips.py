@@ -68,6 +68,7 @@ def test_beats_profile1_on_natural_content():
     assert len(s3) < len(s1)
 
 
+@pytest.mark.isolated
 def test_mini_corpus_bpp_ratchet():
     """Mini-corpus bits regression bar (multi-strip geometry).
 
@@ -88,6 +89,7 @@ def test_mini_corpus_bpp_ratchet():
         assert np.array_equal(d, im)
 
 
+@pytest.mark.isolated
 def test_flagship_contract_bits_bar():
     """Flagship-contract bits bar on a deep strip of a real image.
 
@@ -238,6 +240,7 @@ def test_tune_constants_ride_the_container(kodak_crop, tmp_path):
     np.testing.assert_array_equal(out, kodak_crop)
 
 
+@pytest.mark.isolated
 def test_roundtrip_fusion_regression():
     """Regression: XLA fused the solve-chunk layout into the lax.map body
     and miscompiled the int64 solve at fusion-dependent shapes (e.g. a
