@@ -616,6 +616,53 @@ def main() -> int:
 
     run_leg("p3_max", 180, leg_p3_max)
 
+    # ---- leg 10: profile 2 (speed-class ratio point) ----
+    # Per-tile MXU least-squares predictors raced against the blend
+    # predictor (models/tiled.py effort=2): the operating point that
+    # dominates the reference's own fast mode (-e0, 4.227 bpp at 17
+    # MPix/s single-core) — lower bpp at device-encode rates two orders
+    # above it.  Marginal device method as leg 1.
+    def leg_p2():
+        th, tw = tiled.DEFAULT_TILE
+        streams = tiled.encode_corpus(imgs, effort=2)
+        result["p2_bpp"] = round(
+            8.0 * sum(len(s) for s in streams) / n_px, 4
+        )
+        emit()
+        decs = tiled.decode_batch(streams[:4])
+        result["p2_roundtrip_ok"] = bool(
+            all(np.array_equal(d, im) for im, d in zip(imgs[:4], decs))
+        )
+        emit()
+
+        @functools.partial(jax.jit, static_argnums=1)
+        def enc2_loop(tiles, n):
+            def body(_, acc):
+                t = (tiles + (acc & 1).astype(jnp.uint8)).astype(jnp.uint8)
+                out = tiled._encode_device2_batch_impl(t)
+                return out[0, :1]
+
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.int32))
+
+        dev_t, px_dev = 0.0, 0
+        for batch in batches:
+            tiles = jnp.asarray(
+                np.stack([tiled.to_tiles(im, th, tw) for im in batch])
+            )
+            np.asarray(enc2_loop(tiles, n_lo))
+            np.asarray(enc2_loop(tiles, n_hi))
+            t0 = time.perf_counter()
+            np.asarray(enc2_loop(tiles, n_lo))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(enc2_loop(tiles, n_hi))
+            t_hi = time.perf_counter() - t0
+            dev_t += max(t_hi - t_lo, 1e-9)
+            px_dev += (n_hi - n_lo) * sum(im.size for im in batch)
+        result["p2_device_encode_mpix_s"] = round(px_dev / dev_t / 1e6, 2)
+
+    run_leg("p2", 240, leg_p2)
+
     emit()
     ok = result.get("lossless_roundtrip_ok", False) and result.get(
         "p3_roundtrip_ok", True

@@ -1359,6 +1359,12 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
             if not sym_cnt:
                 uprob = coder3.prob_table(utab)
                 rprob = coder3.prob_table(rtab)
+                # layer-class-selected unary table, hoisted once per
+                # segment: (lanes, N_ROW, l_u) f32 (exact: probs <= 4095
+                # < 2^24; cls_vals is a static index vector)
+                usel = uprob[
+                    :, :, np.asarray(lc.cls_vals[:l_u], np.int32)
+                ].astype(jnp.float32)
             if seg_bias:
                 # per-pixel moment reads instead of quantizing the whole
                 # (n_imgs, 3072) table every segment: the table quantize's
@@ -1554,11 +1560,63 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 # unary walk
                 qv2 = zcodec3.adjust_qv(qu, qv, k_step)
 
+                if not sym_cnt and not ab_unary:
+                    # ALL-layer batched probability read: with
+                    # segment-frozen counters every layer's p1 depends
+                    # only on (qu, qv2, qw) — none on decoded bits — so
+                    # ONE fused one-hot reduction replaces l_u sequential
+                    # per-layer reads, each of which is pure op latency
+                    # in this scan (docs/p3_decode_profile_r5.txt).
+                    # Identical arithmetic to the per-layer fused read:
+                    # probs <= 4095, weights <= QW_MAX -> f32-exact.
+                    esc = np.asarray(lc.esc_counts[:l_u], np.int32)
+                    r_esc_u = jnp.minimum(
+                        (qu[:, None] // k_step + esc[None, :]) * k_step,
+                        zcodec3.N_ROW - 1,
+                    )
+                    ru_all = jnp.where(
+                        esc[None, :] == 0, qu[:, None], r_esc_u
+                    )
+                    r_esc_v = jnp.minimum(
+                        (qv2[:, None] // k_step + esc[None, :]) * k_step,
+                        zcodec3.N_ROW - 1,
+                    )
+                    rv_all = jnp.where(
+                        esc[None, :] == 0, qv2[:, None], r_esc_v
+                    )
+                    ohu_all = jax.nn.one_hot(
+                        ru_all, zcodec3.N_ROW, dtype=jnp.float32
+                    )
+                    ohv_all = jax.nn.one_hot(
+                        rv_all, zcodec3.N_ROW, dtype=jnp.float32
+                    )
+                    qwf_b = qw.astype(jnp.float32)[:, None, None]
+                    wmix_all = (
+                        ohu_all * (coder3.QW_MAX - qwf_b)
+                        + ohv_all * qwf_b
+                    )  # (lanes, l_u, N_ROW)
+                    mixed_all = jnp.sum(
+                        usel * wmix_all.transpose(0, 2, 1), axis=1
+                    ).astype(jnp.int32)  # (lanes, l_u)
+                    p1_unary = jnp.clip(
+                        (mixed_all + coder3.QW_MAX // 2) // coder3.QW_MAX,
+                        1, rans_bin.PROB_MAX - 1,
+                    )
+
                 def unary_layer(l, uc):
                     states, ptrs, utab, active, stopped, stop_row, \
                         stop_layer = uc
-                    ru = zcodec3.escalated_row(qu, lc.esc_counts[l], k_step)
-                    rv = zcodec3.escalated_row(qv2, lc.esc_counts[l], k_step)
+                    if sym_cnt or ab_unary:
+                        ru = zcodec3.escalated_row(
+                            qu, lc.esc_counts[l], k_step
+                        )
+                        rv = zcodec3.escalated_row(
+                            qv2, lc.esc_counts[l], k_step
+                        )
+                    else:
+                        # static slices of the batched per-pixel rows
+                        ru = ru_all[:, l]
+                        rv = rv_all[:, l]
                     if sym_cnt:
                         # per-symbol: probs from the LIVE counters
                         cu = utab[li, ru, lc.cls_vals[l]]
@@ -1575,27 +1633,9 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                         )
                         p1 = coder3.mix_prob(pu, pv, qw)
                     else:
-                        # fused dual-counter read: mix_prob is LINEAR in
-                        # (pu, pv), so one weighted one-hot reduction
-                        # computes pu*(QW-qw) + pv*qw exactly (f32: table
-                        # <= 4095, weights <= 32 -> products < 2^24)
-                        t = uprob[:, :, lc.cls_vals[l]].astype(jnp.float32)
-                        ohu = jax.nn.one_hot(
-                            ru, zcodec3.N_ROW, dtype=jnp.float32
-                        )
-                        ohv = jax.nn.one_hot(
-                            rv, zcodec3.N_ROW, dtype=jnp.float32
-                        )
-                        qwf = qw.astype(jnp.float32)
-                        mixed = jnp.sum(
-                            t * (ohu * (coder3.QW_MAX - qwf)[:, None]
-                                 + ohv * qwf[:, None]),
-                            axis=1,
-                        ).astype(jnp.int32)
-                        p1 = jnp.clip(
-                            (mixed + coder3.QW_MAX // 2) // coder3.QW_MAX,
-                            1, rans_bin.PROB_MAX - 1,
-                        )
+                        # probability from the per-pixel ALL-layer
+                        # batched read above: a static slice
+                        p1 = p1_unary[:, l]
                     b, states, ptrs = code_bin(
                         states, ptrs, l, p1, active, base, nxt_all
                     )
@@ -1650,6 +1690,36 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                 z = jnp.where(stopped, (i_stop >> lc.k_max) << k_end, 0)
 
                 # refine / escape
+                n_rl = 0 if ab_refine else L_R
+                if not sym_cnt and n_rl:
+                    # batched refine probability read for ALL layers and
+                    # BOTH msb values: (stop_row, k_end) are fixed before
+                    # the refine walk; msb is the only bit-dependent
+                    # index and selects per layer with a register op.
+                    # One fused reduction replaces up to N_REFINE
+                    # sequential _gather_refine one-hot contractions.
+                    n_real = min(n_rl, zcodec3.N_REFINE)
+                    lvec = np.arange(n_real, dtype=np.int32)
+                    kk_all = jnp.clip(
+                        k_end[:, None] - 1 - lvec[None, :],
+                        0, zcodec3.N_REFINE - 1,
+                    )  # (lanes, n_real)
+                    ohr_s = jax.nn.one_hot(
+                        stop_row, zcodec3.N_ROW, dtype=jnp.float32
+                    )
+                    # rprob: (lanes, N_ROW, N_REFINE, 2), probs <= 4095
+                    t_row = jnp.sum(
+                        rprob.astype(jnp.float32)
+                        * ohr_s[:, :, None, None],
+                        axis=1,
+                    )  # (lanes, N_REFINE, 2)
+                    ohk_all = jax.nn.one_hot(
+                        kk_all, zcodec3.N_REFINE, dtype=jnp.float32
+                    )  # (lanes, n_real, N_REFINE)
+                    p_refine2 = jnp.sum(
+                        t_row[:, None] * ohk_all[..., None], axis=2
+                    ).astype(jnp.int32)  # (lanes, n_real, 2)
+
                 def refine_layer(l, rc):
                     states, ptrs, rtab, z, msb = rc
                     if l < zcodec3.N_REFINE:
@@ -1663,7 +1733,11 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                                 1, rans_bin.PROB_MAX - 1,
                             )
                         else:
-                            p_ad = _gather_refine(rprob, stop_row, kk, msb)
+                            # select the precomputed (layer, msb) read
+                            p_ad = jnp.where(
+                                msb == 1, p_refine2[:, l, 1],
+                                p_refine2[:, l, 0],
+                            )
                     else:
                         act_r = jnp.zeros((lanes,), bool)
                         p_ad = jnp.full(
@@ -1687,7 +1761,6 @@ def _decode_seg(carry, smat, bias_b, i0, rows: int, w: int, s: int,
                     return (states, ptrs, rtab, z, msb)
 
                 rc = (states, ptrs, rtab, z, jnp.zeros((lanes,), jnp.int32))
-                n_rl = 0 if ab_refine else L_R
                 split_r = n_rl  # lax.cond tail measured slower; keep inline
                 for l in range(split_r):
                     rc = refine_layer(l, rc)
@@ -1923,18 +1996,6 @@ def _gather_prob(uprob, row, cls: int):
     t = uprob[:, :, cls].astype(jnp.float32)
     oh = jax.nn.one_hot(row, zcodec3.N_ROW, dtype=jnp.float32)
     return jnp.sum(t * oh, axis=1).astype(jnp.int32)
-
-
-def _gather_refine(rprob, row, kk, msb):
-    """(lanes, 16, 5, 2) read at traced (row, kk, msb) via one one-hot
-    contraction (three chained gathers cost ~3 us/pixel in the walk)."""
-    ohr = jax.nn.one_hot(row, zcodec3.N_ROW, dtype=jnp.float32)
-    ohk = jax.nn.one_hot(kk, zcodec3.N_REFINE, dtype=jnp.float32)
-    ohm = jax.nn.one_hot(msb, 2, dtype=jnp.float32)
-    mask = ohr[:, :, None, None] * ohk[:, None, :, None] * ohm[:, None, None, :]
-    return jnp.sum(
-        rprob.astype(jnp.float32) * mask, axis=(1, 2, 3)
-    ).astype(jnp.int32)
 
 
 _decode_seg_jit = jax.jit(
